@@ -1,0 +1,40 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh so multi-chip
+sharding paths are exercised without TPU hardware (the driver separately
+dry-runs the multi-chip path via __graft_entry__.dryrun_multichip).
+
+This environment may register a TPU PJRT plugin eagerly at interpreter start
+(via sitecustomize) and pin JAX_PLATFORMS to it; initializing that plugin
+deadlocks with torch-cpu (the golden oracle in op-parity tests).  We therefore
+steer jax to the CPU backend *before any backend is initialized*: env vars are
+not enough (sitecustomize wins), but ``jax.config.update`` is honored as long
+as no device has been touched yet — conftest runs before any test imports.
+"""
+
+import os
+
+# Must precede CPU backend initialization for the 8-device virtual mesh.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices()
+    assert len(devs) == 8, devs
+    return devs

@@ -1,0 +1,246 @@
+"""Configuration layer: dataset specs, model/train configs, and the five
+BASELINE presets.
+
+The reference scatters this information across hardcoded trainer attributes
+(Reference: unipose.py:46-61, uniposeLSTM.py:48-61), per-dataset loader
+constants (utils/lsp_lspet_data.py:205, utils/bbc_data.py:82-83,
+utils/penn_action_data.py:30-31) and argparse flags that are then overridden
+in-place (unipose.py:261-267). Here it is a single typed surface with no
+hidden overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Dataset specifications
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetSpec:
+    """Static description of one supported dataset.
+
+    ``swap_pairs`` are the horizontal-flip joint exchanges
+    (Reference: utils/Mytransforms.py:513 (LSP), :533 (BBC), :554 (NTID)).
+    ``joint_names`` follow the per-joint report printer
+    (Reference: utils/utils.py:354-473).
+    """
+
+    name: str
+    num_joints: int
+    sigma: float = 3.0
+    stride: int = 8
+    input_size: int = 368
+    is_video: bool = False
+    frame_memory: int = 1
+    swap_pairs: Tuple[Tuple[int, int], ...] = ()
+    joint_names: Tuple[str, ...] = ()
+
+    @property
+    def num_channels(self) -> int:
+        """Heatmap channels = joints + 1 background channel
+        (Reference: utils/lsp_lspet_data.py:224,234)."""
+        return self.num_joints + 1
+
+    @property
+    def heatmap_size(self) -> int:
+        return self.input_size // self.stride
+
+
+LSP = DatasetSpec(
+    name="LSP",
+    num_joints=14,
+    sigma=3.0,
+    swap_pairs=((0, 5), (1, 4), (2, 3), (6, 11), (7, 10), (8, 9)),
+    joint_names=(
+        "Right Ankle", "Right Knee", "Right Hip", "Left Hip", "Left Knee",
+        "Left Ankle", "Right Wrist", "Right Elbow", "Right Shoulder",
+        "Left Shoulder", "Left Elbow", "Left Wrist", "Neck", "Head Top",
+    ),
+)
+
+MPII = DatasetSpec(
+    name="MPII",
+    num_joints=16,
+    sigma=3.0,
+    joint_names=(
+        "Right Ankle", "Right Knee", "Right Hip", "Left Hip", "Left Knee",
+        "Left Ankle", "Pelvis", "Thorax", "Upper Neck", "Head Top",
+        "Right Wrist", "Right Elbow", "Right Shoulder", "Left Shoulder",
+        "Left Elbow", "Left Wrist",
+    ),
+)
+
+PENN_ACTION = DatasetSpec(
+    name="Penn_Action",
+    num_joints=13,
+    sigma=1.0,
+    is_video=True,
+    frame_memory=5,
+    joint_names=(
+        "Head", "Right Shoulder", "Left Shoulder", "Right Elbow",
+        "Left Elbow", "Right Wrist", "Left Wrist", "Right Hip", "Left Hip",
+        "Right Knee", "Left Knee", "Right Ankle", "Left Ankle",
+    ),
+)
+
+BBC = DatasetSpec(
+    name="BBC",
+    num_joints=7,
+    sigma=1.0,
+    is_video=True,
+    frame_memory=5,
+    swap_pairs=((1, 2), (3, 4), (5, 6)),
+    joint_names=(
+        "Head", "Left Hand", "Right Hand", "Left Elbow", "Right Elbow",
+        "Left Shoulder", "Right Shoulder",
+    ),
+)
+
+DATASETS = {d.name: d for d in (LSP, MPII, PENN_ACTION, BBC)}
+
+
+# ---------------------------------------------------------------------------
+# Model config
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters.
+
+    Defaults mirror the reference model constructors
+    (Reference: model/unipose.py:9-10, model/uniposeLSTM.py:68-69).
+    """
+
+    dataset: str = "LSP"
+    num_classes: int = 14
+    backbone: str = "resnet101"
+    output_stride: int = 16
+    stride: int = 8
+    variant: str = "image"  # "image" | "lstm"
+    sync_bn: bool = False  # real cross-replica BN (the reference flag is a no-op)
+    freeze_bn: bool = False
+    # dtype policy: params always f32; compute optionally bf16; BN stats f32.
+    compute_dtype: jnp.dtype = jnp.float32
+    # Replicate the reference's double application of wasp.conv2
+    # (Reference: model/modules/wasp.py:72-80) for pretrained-weight parity.
+    wasp_double_conv2: bool = True
+    # Video variant only: number of ConvLSTM rollout frames.
+    frame_memory: int = 5
+
+    @property
+    def spec(self) -> DatasetSpec:
+        return DATASETS[self.dataset]
+
+    def with_dtype(self, dtype) -> "ModelConfig":
+        return dataclasses.replace(self, compute_dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Train config
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training recipe (Reference: unipose.py:46-56, uniposeLSTM.py:48-56)."""
+
+    batch_size: int = 8
+    lr: float = 1e-4
+    gamma: float = 0.333
+    step_size: int = 13275
+    epochs: int = 100
+    workers: int = 1
+    sigma: float = 3.0
+    stride: int = 8
+    seed: int = 0
+    # TPU-native additions (no reference equivalent):
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axes: Tuple[str, ...] = ("data",)
+    donate_state: bool = True
+    checkpoint_dir: Optional[str] = None
+    model_name: str = "unipose"
+
+
+# ---------------------------------------------------------------------------
+# The five BASELINE.json presets
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Preset:
+    name: str
+    description: str
+    model: ModelConfig
+    train: TrainConfig
+
+
+PRESETS = {
+    # 1. UniPose ResNet-101+WASP single-image inference on LSP
+    "lsp_infer": Preset(
+        name="lsp_infer",
+        description="UniPose single-image inference on LSP (368x368, batch 1, 14 joints)",
+        model=ModelConfig(dataset="LSP", num_classes=14),
+        train=TrainConfig(batch_size=1, sigma=3.0),
+    ),
+    # 2. MPII single-person training recipe
+    "mpii_train": Preset(
+        name="mpii_train",
+        description="MPII single-person training (16 joints, Gaussian targets, aug)",
+        model=ModelConfig(dataset="MPII", num_classes=16),
+        train=TrainConfig(batch_size=8, sigma=3.0, model_name="unipose_mpii"),
+    ),
+    # 3. UniPose-LSTM on Penn Action
+    "penn_lstm": Preset(
+        name="penn_lstm",
+        description="UniPose-LSTM on Penn Action (5-frame ConvLSTM rollout)",
+        model=ModelConfig(
+            dataset="Penn_Action", num_classes=13, variant="lstm", frame_memory=5
+        ),
+        train=TrainConfig(batch_size=1, sigma=1.0, model_name="uniposeLSTM_penn"),
+    ),
+    # 4. BBC Pose video eval
+    "bbc_lstm": Preset(
+        name="bbc_lstm",
+        description="BBC Pose video eval (7 joints, long sequences through the LSTM scan)",
+        model=ModelConfig(
+            dataset="BBC", num_classes=7, variant="lstm", frame_memory=5
+        ),
+        train=TrainConfig(batch_size=1, sigma=1.0, model_name="uniposeLSTM_bbc"),
+    ),
+    # 5. Batched multi-clip GSPMD training
+    "multichip_video": Preset(
+        name="multichip_video",
+        description="Multi-clip video training, GSPMD data-parallel, bf16",
+        model=ModelConfig(
+            dataset="Penn_Action",
+            num_classes=13,
+            variant="lstm",
+            frame_memory=5,
+            sync_bn=True,
+            compute_dtype=jnp.bfloat16,
+        ),
+        train=TrainConfig(
+            batch_size=32,
+            sigma=1.0,
+            mesh_shape=(-1,),
+            model_name="uniposeLSTM_multichip",
+        ),
+    ),
+}
+
+
+def get_preset(name: str) -> Preset:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise KeyError(
+            f"Unknown preset {name!r}; available: {sorted(PRESETS)}"
+        ) from None

@@ -1,0 +1,135 @@
+"""Shared building blocks: torch-semantics BatchNorm (with real cross-replica
+sync), conv wrappers, and the dtype policy.
+
+Layout: all modules are NHWC with HWIO kernels (TPU-native).  Parameter tree
+names intentionally mirror the reference's ``state_dict`` keys (``conv1``,
+``bn1``, ``layer1.0.downsample.0`` ...) so ``unipose_tpu.compat`` can convert
+checkpoints by key intersection (Reference: unipose.py:79-90).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm2d with exact torch semantics.
+
+    * eval: ``(x - running_mean) / sqrt(running_var + eps) * gamma + beta``.
+    * train: normalizes with the **biased** batch variance; updates running
+      stats with momentum 0.1 using the **unbiased** variance, matching
+      ``nn.BatchNorm2d`` (Reference: model/unipose.py:14 — the reference uses
+      plain ``nn.BatchNorm2d`` everywhere; its ``sync_bn`` flag is accepted
+      and ignored).
+    * ``axis_name``: when set (and training), batch moments are averaged
+      across that mesh axis with ``lax.pmean`` — this makes ``sync_bn=True``
+      actually mean something on a TPU mesh (SURVEY §2.2).
+
+    Statistics are always computed in f32 regardless of compute dtype.
+    """
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+    axis_name: Optional[str] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, use_running_average: bool) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "running_mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "running_var", lambda: jnp.ones((c,), jnp.float32)
+        )
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            reduce_axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=reduce_axes)
+            mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
+            var = mean_sq - jnp.square(mean)  # biased, used for normalization
+            if not self.is_initializing():
+                n = 1.0
+                for ax in reduce_axes:
+                    n *= x.shape[ax]
+                if self.axis_name is not None:
+                    n *= jax.lax.psum(1, self.axis_name)
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
+class Conv(nn.Module):
+    """2D conv with torch-style explicit padding and HWIO kernels.
+
+    ``features``/``kernel_size``/``stride``/``padding``/``dilation`` follow
+    ``nn.Conv2d``.  Weight param is named ``weight`` (HWIO) and bias ``bias``
+    to line up with torch key names after transposition.
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]]
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = (
+            (self.kernel_size, self.kernel_size)
+            if isinstance(self.kernel_size, int)
+            else tuple(self.kernel_size)
+        )
+        in_ch = x.shape[-1]
+        # He-normal fan_out matches the reference init families closely enough
+        # for from-scratch training (Reference: resnet.py:126-133, wasp.py:92-103).
+        kernel = self.param(
+            "weight",
+            nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            (*k, in_ch, self.features),
+            jnp.float32,
+        )
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b.astype(dtype)
+        return y
+
+
+def dropout(x: jnp.ndarray, rate: float, deterministic: bool, rng=None) -> jnp.ndarray:
+    """Inverted dropout matching ``nn.Dropout`` train behavior."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
