@@ -1,0 +1,101 @@
+"""UniPose image model: ResNet-101 -> WASP -> decoder -> (B, H/8, W/8, K+1).
+
+Reference: model/unipose.py —
+  * composition :20-22, forward :27-38;
+  * output upsampled to input size (align_corners) only when stride != 8
+    (:31-32);
+  * heatmaps are channel-LAST here (TPU-native); use
+    ``unipose_tpu.compat.to_nchw``/``to_nhwc`` at the API edge for
+    reference-layout interop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from unipose_tpu.core.config import ModelConfig
+from unipose_tpu.models.decoder import Decoder
+from unipose_tpu.models.resnet import ResNet101
+from unipose_tpu.models.wasp import WASP
+from unipose_tpu.ops.resize import bilinear_resize
+
+
+class UniPose(nn.Module):
+    """Note on sync-BN: under GSPMD data-parallel training (batch sharded over
+    the ``data`` mesh axis inside ``jit``), BatchNorm's ``jnp.mean`` over the
+    batch axis is computed globally by XLA-inserted collectives — i.e. the
+    reference's ignored ``sync_bn=True`` flag (model/unipose.py:14, SURVEY
+    §2.2) becomes real semantics for free.  Per-replica BN would require
+    ``shard_map``; ``TorchBatchNorm.axis_name`` exists for that path.
+    """
+
+    num_classes: int = 14
+    output_stride: int = 16
+    stride: int = 8
+    wasp_double_conv2: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        feats, low_level = ResNet101(
+            output_stride=self.output_stride, dtype=self.dtype, name="backbone"
+        )(x, train=train)
+        y = WASP(
+            output_stride=self.output_stride,
+            double_conv2=self.wasp_double_conv2,
+            dtype=self.dtype,
+            name="wasp",
+        )(feats, train=train)
+        y = Decoder(self.num_classes, dtype=self.dtype, name="decoder")(
+            y, low_level, train=train
+        )
+        if self.stride != 8:
+            y = bilinear_resize(y, x.shape[1:3])
+        # Heatmaps & loss stay in f32 regardless of the compute dtype.
+        return y.astype(jnp.float32)
+
+
+def build_model(config: ModelConfig) -> nn.Module:
+    """Factory mirroring the reference constructors (model/unipose.py:9,
+    model/uniposeLSTM.py:68)."""
+    if config.variant == "image":
+        return UniPose(
+            num_classes=config.num_classes,
+            output_stride=config.output_stride,
+            stride=config.stride,
+            wasp_double_conv2=config.wasp_double_conv2,
+            dtype=None if config.compute_dtype == jnp.float32 else config.compute_dtype,
+        )
+    elif config.variant == "lstm":
+        from unipose_tpu.models.unipose_lstm import UniPoseLSTM
+
+        return UniPoseLSTM(
+            num_classes=config.num_classes,
+            output_stride=config.output_stride,
+            stride=config.stride,
+            wasp_double_conv2=config.wasp_double_conv2,
+            dtype=None if config.compute_dtype == jnp.float32 else config.compute_dtype,
+        )
+    raise ValueError(f"unknown variant {config.variant!r}")
+
+
+def init_model(config: ModelConfig, rng: jax.Array, sample_batch: int = 1):
+    """Initialize variables for a model; returns (module, variables)."""
+    model = build_model(config)
+    size = config.spec.input_size
+    if config.variant == "lstm":
+        dummy = {
+            "frames": jnp.zeros((sample_batch, config.frame_memory, size, size, 3)),
+            "centermap": jnp.zeros((sample_batch, config.frame_memory, size, size, 1)),
+        }
+        variables = model.init(rng, dummy["frames"], dummy["centermap"], train=False)
+    else:
+        dummy = jnp.zeros((sample_batch, size, size, 3))
+        variables = model.init(rng, dummy, train=False)
+    return model, variables
