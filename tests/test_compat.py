@@ -1,0 +1,143 @@
+"""Converter tests: torch state_dict layout -> flax variables."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from unipose_tpu.compat.torch_convert import (
+    convert_state_dict,
+    to_nchw,
+    to_nhwc,
+)
+from unipose_tpu.models.unipose_lstm import ConvLSTMCell
+
+
+def test_layout_helpers(rng):
+    x = rng.randn(2, 3, 5, 7).astype(np.float32)
+    assert to_nhwc(x).shape == (2, 5, 7, 3)
+    np.testing.assert_array_equal(to_nchw(to_nhwc(x)), x)
+
+
+def test_key_intersection_and_transpose(rng):
+    template = {
+        "params": {
+            "backbone": {"conv1": {"weight": np.zeros((7, 7, 3, 64), np.float32)}},
+            "wasp": {
+                "bn1": {
+                    "weight": np.zeros((256,), np.float32),
+                    "bias": np.zeros((256,), np.float32),
+                }
+            },
+        },
+        "batch_stats": {
+            "wasp": {
+                "bn1": {
+                    "running_mean": np.zeros((256,), np.float32),
+                    "running_var": np.ones((256,), np.float32),
+                }
+            }
+        },
+    }
+    w = rng.randn(64, 3, 7, 7).astype(np.float32)
+    rm = rng.randn(256).astype(np.float32)
+    state = {
+        "backbone.conv1.weight": w,
+        "wasp.bn1.running_mean": rm,
+        "wasp.bn1.num_batches_tracked": np.array(5),
+        "decoder.conv2.weight": rng.randn(256, 2048, 1, 1).astype(np.float32),  # dead
+        "nonexistent.thing": rng.randn(3).astype(np.float32),
+    }
+    out, report = convert_state_dict(state, template)
+    np.testing.assert_array_equal(
+        out["params"]["backbone"]["conv1"]["weight"], w.transpose(2, 3, 1, 0)
+    )
+    np.testing.assert_array_equal(
+        out["batch_stats"]["wasp"]["bn1"]["running_mean"], rm
+    )
+    assert "decoder.conv2.weight" in report["skipped"]
+    assert "nonexistent.thing" in report["skipped"]
+    assert "backbone.conv1.weight" in report["loaded"]
+    # untouched template values preserved
+    np.testing.assert_array_equal(
+        out["batch_stats"]["wasp"]["bn1"]["running_var"], np.ones((256,))
+    )
+
+
+def test_lstm_gate_packing_matches_torch(rng):
+    """Per-gate reference weights, packed by the converter, must reproduce
+    the torch gate math through ConvLSTMCell."""
+    ch = 15
+    gates = ("g", "i", "o", "f")
+    state = {}
+    for xh in ("x", "h"):
+        for g in gates:
+            state[f"lstm.conv_{g}{xh}_lstm.weight"] = (
+                rng.randn(ch, ch, 3, 3).astype(np.float32) * 0.1
+            )
+            state[f"lstm.conv_{g}{xh}_lstm.bias"] = rng.randn(ch).astype(np.float32)
+
+    cell_mod = ConvLSTMCell(ch)
+    x = rng.randn(1, 8, 8, ch).astype(np.float32)
+    h = rng.randn(1, 8, 8, ch).astype(np.float32)
+    c = rng.randn(1, 8, 8, ch).astype(np.float32)
+    template = cell_mod.init(
+        jax.random.PRNGKey(0), (jnp.asarray(c), jnp.asarray(h)), jnp.asarray(x)
+    )
+    template = jax.tree_util.tree_map(np.asarray, dict(template))
+    # re-root: cell params live at params/<gates>; converter expects params/lstm/...
+    template = {"params": {"lstm": template["params"]}}
+    out, report = convert_state_dict(state, template, variant="lstm")
+    assert not report["skipped"], report["skipped"]
+    cell_params = {"params": out["params"]["lstm"]}
+
+    (cell_j, hide_j), _ = cell_mod.apply(
+        cell_params, (jnp.asarray(c), jnp.asarray(h)), jnp.asarray(x)
+    )
+
+    conv = lambda t, n, xh: F.conv2d(  # noqa: E731
+        t,
+        torch.from_numpy(state[f"lstm.conv_{n}{xh}_lstm.weight"]),
+        torch.from_numpy(state[f"lstm.conv_{n}{xh}_lstm.bias"]),
+        padding=1,
+    )
+    xt = torch.from_numpy(to_nchw(x).copy())
+    ht = torch.from_numpy(to_nchw(h).copy())
+    ct = torch.from_numpy(to_nchw(c).copy())
+    gt = torch.tanh(conv(xt, "g", "x") + conv(ht, "g", "h"))
+    it = torch.sigmoid(conv(xt, "i", "x") + conv(ht, "i", "h"))
+    ot = torch.sigmoid(conv(xt, "o", "x") + conv(ht, "o", "h"))
+    ft = torch.sigmoid(conv(xt, "f", "x") + conv(ht, "f", "h"))
+    cell_t = ft * ct + it * gt
+    hide_t = ot * torch.tanh(cell_t)
+    np.testing.assert_allclose(
+        np.asarray(cell_j), to_nhwc(cell_t.numpy()), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(hide_j), to_nhwc(hide_t.numpy()), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_head_reroot(rng):
+    template = {
+        "params": {
+            "head": {
+                "conv1": {
+                    "weight": np.zeros((11, 11, 15, 128), np.float32),
+                    "bias": np.zeros((128,), np.float32),
+                }
+            }
+        }
+    }
+    w = rng.randn(128, 15, 11, 11).astype(np.float32)
+    out, report = convert_state_dict(
+        {"conv1.weight": w, "conv1.bias": rng.randn(128).astype(np.float32)},
+        template,
+        variant="lstm",
+    )
+    assert report["loaded"] == ["conv1.weight", "conv1.bias"]
+    np.testing.assert_array_equal(
+        out["params"]["head"]["conv1"]["weight"], w.transpose(2, 3, 1, 0)
+    )
