@@ -1,0 +1,217 @@
+"""Dataset loaders exercised end-to-end on synthetic on-disk fixtures that
+mimic each dataset's real file formats."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+import scipy.io  # noqa: E402
+
+from unipose_tpu.data import transforms as T
+from unipose_tpu.data.bbc import BBCDataset
+from unipose_tpu.data.loader import PrefetchLoader, collate, get_dataloader
+from unipose_tpu.data.lsp import LSPDataset
+from unipose_tpu.data.mpii import MPIIDataset
+from unipose_tpu.data.penn_action import PennActionDataset
+
+
+def write_jpg(path, h=60, w=80, seed=0):
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cv2.imwrite(path, rng.randint(0, 255, (h, w, 3), np.uint8))
+
+
+@pytest.fixture
+def lsp_root(tmp_path):
+    root = tmp_path / "lsp"
+    n = 4
+    for i in range(n):
+        write_jpg(str(root / "images" / f"im{i + 1:04d}.jpg"), seed=i)
+    # lsp layout (3, 14, N); row 2 = "occluded" flag, inverted by the loader
+    joints = np.zeros((3, 14, n))
+    rng = np.random.RandomState(1)
+    joints[0] = rng.uniform(5, 75, (14, n))
+    joints[1] = rng.uniform(5, 55, (14, n))
+    joints[2] = rng.randint(0, 2, (14, n))
+    scipy.io.savemat(str(root / "joints.mat"), {"joints": joints})
+    return str(root)
+
+
+@pytest.fixture
+def lspet_root(tmp_path):
+    root = tmp_path / "lspet"
+    n = 6
+    for i in range(n):
+        write_jpg(str(root / "images" / f"im{i + 1:05d}.jpg"), seed=10 + i)
+    joints = np.zeros((14, 3, n))  # lspet layout
+    rng = np.random.RandomState(2)
+    joints[:, 0, :] = rng.uniform(5, 75, (14, n))
+    joints[:, 1, :] = rng.uniform(5, 55, (14, n))
+    joints[:, 2, :] = rng.randint(0, 2, (14, n))
+    scipy.io.savemat(str(root / "joints.mat"), {"joints": joints})
+    return str(root)
+
+
+def test_lsp_dataset(lsp_root):
+    ds = LSPDataset("lsp", lsp_root, 3.0, 8, T.Compose([T.TestResized(368)]))
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["image"].shape == (368, 368, 3)
+    assert s["kpts"].shape == (14, 3)
+    assert s["center"].shape == (2,)
+    assert s["image"].dtype == np.float32
+
+
+def test_lspet_dataset_with_flip(lspet_root):
+    ds = LSPDataset(
+        "lspet", lspet_root, 3.0, 8, T.Compose([T.RandomHorizontalFlip(prob=1.0)])
+    )
+    s = ds[1]
+    assert s["image"].shape == (368, 368, 3)
+    assert s["kpts"].shape == (14, 3)
+
+
+@pytest.fixture
+def mpii_root(tmp_path):
+    root = tmp_path / "mpii"
+    os.makedirs(root / "images")
+    anno = []
+    for i in range(5):
+        name = f"img{i}.jpg"
+        write_jpg(str(root / "images" / name), h=100, w=120, seed=i)
+        write_jpg(str(root / (name[:-4] + ".png")), seed=i)  # label png marker
+        anno.append(
+            {
+                "img_paths": name,
+                "isValidation": 1.0 if i >= 3 else 0.0,
+                "joint_self": np.random.RandomState(i)
+                .uniform(5, 95, (16, 3))
+                .tolist(),
+                "objpos": [60.0, 50.0],
+                "scale_provided": 1.2,
+            }
+        )
+    with open(root / "mpii_annotations.json", "w") as f:
+        json.dump(anno, f)
+    return str(root)
+
+
+def test_mpii_dataset(mpii_root):
+    train = MPIIDataset(mpii_root + "/", 3.0, "Train")
+    val = MPIIDataset(mpii_root + "/", 3.0, "Val")
+    assert len(train) == 3 and len(val) == 2
+    s = train[0]
+    assert s["image"].shape == (368, 368, 3)
+    assert s["kpts"].shape == (16, 3)
+    # center shifted by +15*scale then scale*1.25
+    assert s["center"][1] == pytest.approx(50.0 + 15 * 1.2)
+    assert float(s["scale"]) == pytest.approx(1.5)
+
+
+@pytest.fixture
+def penn_root(tmp_path):
+    root = tmp_path / "penn"
+    os.makedirs(root / "train")
+    nframes = 8
+    rng = np.random.RandomState(3)
+    for clip in ("0001", "0002"):
+        for f in range(nframes):
+            write_jpg(str(root / "frames" / clip / f"{f + 1:06d}.jpg"), h=90, w=120, seed=f)
+        data = {
+            "nframes": nframes,
+            "framepath": f"frames/{clip}",
+            "dimensions": [90, 120],
+            "x": rng.uniform(1, 119, (nframes, 13)),
+            "y": rng.uniform(1, 89, (nframes, 13)),
+            "visibility": rng.randint(0, 2, (nframes, 13)),
+        }
+        np.save(str(root / "train" / f"{clip}.npy"), data, allow_pickle=True)
+    return str(root)
+
+
+def test_penn_dataset(penn_root):
+    ds = PennActionDataset(
+        penn_root, 1.0, 5, True, rng=np.random.RandomState(0)
+    )
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["frames"].shape == (5, 368, 368, 3)
+    assert s["kpts"].shape == (5, 13, 3)
+    assert s["centers"].shape == (5, 2)
+    assert (s["centers"] == 184.0).all()
+    # keypoints rescaled into the 368 frame
+    assert s["kpts"][..., 0].max() <= 368.0
+
+
+@pytest.fixture
+def bbc_root(tmp_path):
+    root = tmp_path / "bbc"
+    rng = np.random.RandomState(4)
+    for split, vids in (("train", (1, 2)), ("val", (11,))):
+        for vid in vids:
+            nf = 6
+            frames = np.arange(1, nf + 1, dtype=np.float64)
+            if split == "train":
+                frames = frames[None, :]  # train mats are (1, N)
+            joints = rng.uniform(450, 780, (nf, 7, 2))
+            os.makedirs(root / "labels" / split / "imageFiles", exist_ok=True)
+            os.makedirs(root / "labels" / split / "joints", exist_ok=True)
+            scipy.io.savemat(
+                str(root / "labels" / split / "imageFiles" / f"{vid}_imageFiles.mat"),
+                {"imageFile": frames},
+            )
+            scipy.io.savemat(
+                str(root / "labels" / split / "joints" / f"{vid}_jointFiles.mat"),
+                {"joints": joints},
+            )
+            for f in range(nf):
+                write_jpg(str(root / "BBCpose" / str(vid) / f"{f + 1}.jpg"), h=800, w=800, seed=f)
+    return str(root) + "/"
+
+
+def test_bbc_dataset_single_frame(bbc_root):
+    ds = BBCDataset(bbc_root, 1.0, "Train", seq_len=1)
+    assert len(ds) == 12
+    s = ds[0]
+    assert s["image"].shape == (368, 368, 3)
+    assert s["kpts"].shape == (7, 3)
+    assert (s["kpts"][:, :2] >= 0).all()  # negatives clamped (bbc_data.py:193)
+
+
+def test_bbc_dataset_windows(bbc_root):
+    ds = BBCDataset(bbc_root, 1.0, "Train", seq_len=5)
+    s = ds[0]
+    assert s["frames"].shape == (5, 368, 368, 3)
+    # windows never straddle two videos (6 frames per video, seq 5 -> 1 window each)
+    assert len(ds) == 2
+
+
+def test_prefetch_loader_batches(lsp_root):
+    ds = LSPDataset("lsp", lsp_root, 3.0, 8, T.Compose([T.TestResized(368)]))
+    loader = PrefetchLoader(ds, batch_size=2, shuffle=True, num_workers=2, seed=1)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["image"].shape == (2, 368, 368, 3)
+    assert b["kpts"].shape == (2, 14, 3)
+    assert isinstance(b["path"], list) and len(b["path"]) == 2
+    # deterministic per epoch
+    again = list(loader)
+    np.testing.assert_array_equal(batches[0]["image"], again[0]["image"])
+    loader.set_epoch(1)
+    shuffled = list(loader)
+    assert not np.array_equal(batches[0]["image"], shuffled[0]["image"])
+
+
+def test_get_dataloader_lsp(lspet_root, lsp_root):
+    train, val, test = get_dataloader(
+        "LSP", lspet_root, lsp_root, 3.0, 8, workers=2, batch_size=2
+    )
+    tb = next(iter(train))
+    assert tb["image"].shape == (2, 368, 368, 3)
+    vb = next(iter(val))
+    assert vb["image"].shape == (1, 368, 368, 3)
+    assert test is None
