@@ -1,0 +1,173 @@
+"""Train/eval step tests on tiny shapes over the 8-device CPU mesh."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unipose_tpu.core.config import DATASETS, ModelConfig, TrainConfig
+from unipose_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from unipose_tpu.train.optim import step_decay_schedule
+from unipose_tpu.train.state import create_train_state
+from unipose_tpu.train.steps import make_eval_step, make_train_step
+
+SIZE = 64
+
+
+def tiny_spec(name="LSP"):
+    return dataclasses.replace(DATASETS[name], input_size=SIZE)
+
+
+def image_batch(rng, b=2, k=14):
+    return {
+        "image": jnp.asarray(rng.rand(b, SIZE, SIZE, 3).astype(np.float32) * 255),
+        "kpts": jnp.asarray(
+            np.concatenate(
+                [rng.rand(b, k, 2) * SIZE, np.ones((b, k, 1))], axis=-1
+            ).astype(np.float32)
+        ),
+    }
+
+
+def video_batch(rng, b=1, t=2, k=13):
+    return {
+        "frames": jnp.asarray(rng.rand(b, t, SIZE, SIZE, 3).astype(np.float32) * 255),
+        "kpts": jnp.asarray(
+            np.concatenate(
+                [rng.rand(b, t, k, 2) * SIZE, np.ones((b, t, k, 1))], axis=-1
+            ).astype(np.float32)
+        ),
+        "centers": jnp.asarray(
+            (rng.rand(b, t, 2) * SIZE).astype(np.float32)
+        ),
+    }
+
+
+def test_schedule_matches_reference_policy():
+    sched = step_decay_schedule(1e-4, 0.333, 13275)
+    assert float(sched(0)) == pytest.approx(1e-4)
+    assert float(sched(13274)) == pytest.approx(1e-4)
+    assert float(sched(13275)) == pytest.approx(1e-4 * 0.333)
+    assert float(sched(2 * 13275)) == pytest.approx(1e-4 * 0.333**2, rel=1e-5)
+
+
+def test_image_train_step_reduces_loss(rng):
+    spec = tiny_spec("LSP")
+    mc = ModelConfig(dataset="LSP", num_classes=14)
+    tc = TrainConfig(batch_size=2, lr=1e-3)
+    from unipose_tpu.models.unipose import build_model
+    from unipose_tpu.train.optim import make_optimizer
+    from unipose_tpu.train.state import TrainState
+
+    model = build_model(mc)
+    tx = make_optimizer(tc)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)), train=False
+    )
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(1),
+    )
+    step = make_train_step(model, tx, spec, donate=False)
+    batch = image_batch(rng)
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 3
+    assert losses[-1] < losses[0]
+
+    eval_step = make_eval_step(model, spec)
+    heat, target, loss = eval_step(state.params, state.batch_stats, batch)
+    assert heat.shape == (2, SIZE // 8, SIZE // 8, 15)
+    assert target.shape == heat.shape
+
+
+def test_video_train_step_runs(rng):
+    spec = tiny_spec("Penn_Action")
+    mc = ModelConfig(dataset="Penn_Action", num_classes=13, variant="lstm")
+    tc = TrainConfig(batch_size=1, lr=1e-3, sigma=1.0)
+    from unipose_tpu.models.unipose import build_model
+    from unipose_tpu.train.optim import make_optimizer
+    from unipose_tpu.train.state import TrainState
+
+    model = build_model(mc)
+    f = jnp.zeros((1, 2, SIZE, SIZE, 3))
+    c = jnp.zeros((1, 2, SIZE, SIZE, 1))
+    variables = model.init(jax.random.PRNGKey(0), f, c, train=False)
+    tx = make_optimizer(tc)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(1),
+    )
+    step = make_train_step(model, tx, spec, video=True, donate=False)
+    batch = video_batch(rng)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+    eval_step = make_eval_step(model, spec, video=True)
+    heat, target, loss = eval_step(state.params, state.batch_stats, batch)
+    assert heat.shape == (1, 2, SIZE // 8, SIZE // 8, 14)
+
+
+def test_sharded_train_step_on_mesh(rng, eight_devices):
+    """Full GSPMD data-parallel step over the 8-device mesh: batch sharded on
+    'data', params replicated, BN stats become global-batch stats."""
+    spec = tiny_spec("LSP")
+    mc = ModelConfig(dataset="LSP", num_classes=14)
+    tc = TrainConfig(batch_size=8, lr=1e-3)
+    from unipose_tpu.models.unipose import build_model
+    from unipose_tpu.train.optim import make_optimizer
+    from unipose_tpu.train.state import TrainState
+
+    model = build_model(mc)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)), train=False
+    )
+    tx = make_optimizer(tc)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(1),
+    )
+    mesh = make_mesh((8,), ("data",))
+    state = replicate(state, mesh)
+    batch = shard_batch(
+        {k: np.asarray(v) for k, v in image_batch(rng, b=8).items()}, mesh
+    )
+    assert batch["image"].sharding.spec[0] == "data"
+
+    step = make_train_step(model, tx, spec, donate=False)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # params stay replicated
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from unipose_tpu.train.checkpoint import restore_train_state, save_train_state
+    from unipose_tpu.train.state import TrainState
+
+    state = TrainState(
+        params={"w": jnp.arange(4.0)},
+        batch_stats={"m": jnp.ones((2,))},
+        opt_state=(),
+        step=jnp.asarray(7, jnp.int32),
+        rng=jax.random.PRNGKey(3),
+    )
+    path = save_train_state(str(tmp_path / "ckpt"), state)
+    restored = restore_train_state(path, state)
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.arange(4.0))

@@ -1,0 +1,89 @@
+"""Training CLI — the L4 entry point.
+
+Usage (image, Reference: unipose.py:248-275):
+    python -m unipose_tpu.cli.train --dataset LSP --train_dir ... --val_dir ...
+Usage (video, Reference: uniposeLSTM.py:274-301):
+    python -m unipose_tpu.cli.train --dataset Penn_Action --model_arch uniposeLSTM ...
+
+Unlike the reference, flags are not silently overridden after parsing
+(unipose.py:261-267 hardcodes paths over the CLI values); presets from
+``unipose_tpu.core.config`` supply defaults instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from unipose_tpu.core.config import DATASETS, ModelConfig, TrainConfig
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="unipose_tpu trainer")
+    p.add_argument("--pretrained", default=None, type=str,
+                   help="torch .pth.tar or orbax dir to warm-start from")
+    p.add_argument("--dataset", type=str, default="LSP",
+                   choices=sorted(DATASETS))
+    p.add_argument("--train_dir", default=None, type=str)
+    p.add_argument("--val_dir", default=None, type=str)
+    p.add_argument("--model_name", default="unipose", type=str)
+    p.add_argument("--model_arch", default="unipose", type=str,
+                   choices=["unipose", "uniposeLSTM"])
+    p.add_argument("--epochs", default=100, type=int)
+    p.add_argument("--batch_size", default=None, type=int)
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--frame_memory", default=5, type=int)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--seed", default=0, type=int)
+    return p
+
+
+def configs_from_args(args) -> tuple:
+    import jax.numpy as jnp
+
+    spec = DATASETS[args.dataset]
+    video = args.model_arch == "uniposeLSTM"
+    model_config = ModelConfig(
+        dataset=args.dataset,
+        num_classes=spec.num_joints,
+        variant="lstm" if video else "image",
+        frame_memory=args.frame_memory,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    # reference defaults: batch 8 image (unipose.py:49), clip-batch 1 video
+    # (uniposeLSTM.py:51); sigma 3 image / 1 video (unipose.py:53,
+    # uniposeLSTM.py:55)
+    batch = args.batch_size or (1 if video else 8)
+    train_config = TrainConfig(
+        batch_size=batch,
+        lr=args.lr,
+        sigma=1.0 if video else 3.0,
+        epochs=args.epochs,
+        seed=args.seed,
+        model_name=args.model_name,
+    )
+    return model_config, train_config
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    model_config, train_config = configs_from_args(args)
+
+    from unipose_tpu.train.trainer import Trainer
+
+    trainer = Trainer(
+        model_config,
+        train_config,
+        train_dir=args.train_dir,
+        val_dir=args.val_dir,
+        pretrained=args.pretrained,
+    )
+    for epoch in range(train_config.epochs):
+        if trainer.train_loader is not None:
+            trainer.training(epoch)
+        if trainer.val_loader is not None:
+            trainer.validation(epoch)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Orbax checkpointing with a ``*_best`` pointer.
+
+Reference behavior: best-metric-only ``torch.save({'state_dict': ...})`` to
+``<name>_best.pth.tar`` (utils/utils.py:53-56; trigger unipose.py:183-186) —
+no optimizer/step/RNG, so no true resume.  Here the full TrainState is saved
+(params, batch_stats, opt_state, step, rng), giving exact resume for
+preemptible TPU slices, while ``save_checkpoint(state, is_best, name)`` keeps
+the reference's best-only external semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from unipose_tpu.train.state import TrainState
+
+
+def _as_path(directory: str) -> str:
+    return os.path.abspath(os.path.expanduser(directory))
+
+
+def save_train_state(directory: str, state: TrainState, *, force: bool = True) -> str:
+    """Save the full train state under ``directory``."""
+    path = _as_path(directory)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state), force=force)
+    return path
+
+
+def restore_train_state(directory: str, template: TrainState) -> TrainState:
+    """Restore a train state saved by :func:`save_train_state`."""
+    path = _as_path(directory)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, jax.device_get(template))
+
+
+def save_checkpoint(
+    state: TrainState, is_best: bool, filename: str = "checkpoint"
+) -> Optional[str]:
+    """Reference-compatible best-only save (utils/utils.py:53-56): writes to
+    ``<filename>_best`` only when ``is_best``."""
+    if is_best:
+        return save_train_state(f"{filename}_best", state)
+    return None
+
+
+def warm_start_from_torch(
+    state: TrainState, torch_path: str, *, variant: str = "image"
+) -> TrainState:
+    """Key-intersection warm start from a reference ``*.pth.tar``
+    (unipose.py:78-90 semantics) via the compat converter."""
+    from unipose_tpu.compat.torch_convert import convert_state_dict, load_torch_checkpoint
+
+    torch_state = load_torch_checkpoint(torch_path)
+    template = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+    converted, report = convert_state_dict(torch_state, template, variant=variant)
+    loaded, skipped = len(report["loaded"]), len(report["skipped"])
+    print(f"warm start: loaded {loaded} tensors, skipped {skipped}")
+    return state.replace(
+        params=converted["params"], batch_stats=converted["batch_stats"]
+    )

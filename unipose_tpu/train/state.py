@@ -1,0 +1,48 @@
+"""Train state: params + BN running stats + optimizer state + step + rng.
+
+Unlike the reference checkpoint (state_dict only, no optimizer/epoch/RNG —
+utils/utils.py:53-56, so no true resume), this state is complete: saving and
+restoring it resumes training exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+from flax import struct
+
+from unipose_tpu.core.config import ModelConfig, TrainConfig
+from unipose_tpu.models.unipose import init_model
+from unipose_tpu.train.optim import make_optimizer
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+    rng: jax.Array
+
+
+def create_train_state(
+    model_config: ModelConfig,
+    train_config: TrainConfig,
+    rng: jax.Array,
+):
+    """Returns (model, optimizer, TrainState)."""
+    import jax.numpy as jnp
+
+    init_rng, state_rng = jax.random.split(rng)
+    model, variables = init_model(model_config, init_rng)
+    tx = make_optimizer(train_config)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+        rng=state_rng,
+    )
+    return model, tx, state

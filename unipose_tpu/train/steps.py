@@ -1,0 +1,144 @@
+"""jit/pjit train and eval steps with fused device-side preprocessing.
+
+The reference's hot loop (Reference: unipose.py:100-131, §3.2) does CPU-side
+normalization + per-sample numpy Gaussian targets in DataLoader workers, then
+``.cuda()`` copies.  Here raw images and keypoints stream to the device and
+normalization ((x-128)/256, utils/lsp_lspet_data.py:242-243) plus target
+rendering fuse into the compiled step — input decode-to-heatmap never touches
+host math (BASELINE.json north star).
+
+Loss: MSE over all heatmap elements (unipose.py:70,117).  The video step sums
+per-frame MSE means (uniposeLSTM.py:124-128), i.e. ``T * mean``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unipose_tpu.core.config import DatasetSpec
+from unipose_tpu.ops.heatmap import gaussian_heatmaps, render_targets
+from unipose_tpu.train.state import TrainState
+
+MEAN = 128.0
+STD = 256.0
+
+
+def preprocess_images(images: jnp.ndarray) -> jnp.ndarray:
+    """(x - 128) / 256, any leading dims, BGR channel-last."""
+    return (images - MEAN) / STD
+
+
+def make_targets(
+    kpts: jnp.ndarray, spec: DatasetSpec
+) -> jnp.ndarray:
+    """(..., K, 3) keypoints -> (..., H/8, W/8, K+1) heatmaps."""
+    size = spec.input_size
+    return render_targets(kpts[..., :2], size, size, spec.stride, spec.sigma)
+
+
+def make_centermaps(centers: jnp.ndarray, spec: DatasetSpec) -> jnp.ndarray:
+    """(..., 2) centers -> (..., H, W, 1) full-res sigma-3 centermaps
+    (utils/lsp_lspet_data.py:236-240, penn_action_data.py:129-133)."""
+    size = spec.input_size
+    return gaussian_heatmaps(centers, (size, size), 3.0)[..., None]
+
+
+def mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.square(pred - target.astype(pred.dtype)))
+
+
+def make_train_step(
+    model,
+    tx,
+    spec: DatasetSpec,
+    *,
+    video: bool = False,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the compiled train step.
+
+    Batch layout (all raw, device-side preprocessing):
+      image variant: image (B, H, W, 3), kpts (B, K, 3)
+      video variant: frames (B, T, H, W, 3), kpts (B, T, K, 3),
+                     centers (B, T, 2)
+    """
+
+    def step(state: TrainState, batch):
+        rng, dropout_rng = jax.random.split(state.rng)
+
+        if video:
+            x = preprocess_images(batch["frames"])
+            targets = make_targets(batch["kpts"], spec)
+            centermaps = make_centermaps(batch["centers"], spec)
+            t = x.shape[1]
+        else:
+            x = preprocess_images(batch["image"])
+            targets = make_targets(batch["kpts"], spec)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if video:
+                out, mutated = model.apply(
+                    variables,
+                    x,
+                    centermaps,
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": dropout_rng},
+                )
+                loss = mse(out, targets) * t  # sum of per-frame MSEs
+            else:
+                out, mutated = model.apply(
+                    variables,
+                    x,
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": dropout_rng},
+                )
+                loss = mse(out, targets)
+            return loss, mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+            rng=rng,
+        )
+        metrics = {"loss": loss}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, spec: DatasetSpec, *, video: bool = False):
+    """Compiled eval step: forward in eval mode; returns f32 heatmaps and
+    rendered targets (both NHWC) plus the per-batch MSE loss."""
+
+    def step(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if video:
+            x = preprocess_images(batch["frames"])
+            targets = make_targets(batch["kpts"], spec)
+            centermaps = make_centermaps(batch["centers"], spec)
+            out = model.apply(variables, x, centermaps, train=False)
+            loss = mse(out, targets) * x.shape[1]
+        else:
+            x = preprocess_images(batch["image"])
+            targets = make_targets(batch["kpts"], spec)
+            out = model.apply(variables, x, train=False)
+            loss = mse(out, targets)
+        return out, targets, loss
+
+    return jax.jit(step)

@@ -1,0 +1,169 @@
+"""Training harness (L4): init / training / validation, mirroring the
+reference Trainer's behavior on top of the compiled GSPMD step.
+
+Reference: unipose.py:37-193 (image) and uniposeLSTM.py:37-215 (video) —
+  * per-iteration step-decay LR (folded into the optax schedule);
+  * per-epoch validation with PCK/PCKh/AP accumulated with per-joint
+    visibility gating (unipose.py:163-176);
+  * best-mAP checkpoint to ``<model_name>_best`` (unipose.py:183-186);
+  * optional warm start from a torch ``*.pth.tar`` (unipose.py:78-90).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from unipose_tpu.core.config import DATASETS, ModelConfig, TrainConfig
+from unipose_tpu.data.loader import get_dataloader
+from unipose_tpu.eval.metrics import accuracy
+from unipose_tpu.eval.report import print_accuracies
+from unipose_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from unipose_tpu.train.checkpoint import save_checkpoint, warm_start_from_torch
+from unipose_tpu.train.state import create_train_state
+from unipose_tpu.train.steps import make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        train_config: TrainConfig,
+        train_dir: Optional[str] = None,
+        val_dir: Optional[str] = None,
+        pretrained: Optional[str] = None,
+        mesh=None,
+        log_every: int = 50,
+    ):
+        self.model_config = model_config
+        self.train_config = train_config
+        self.spec = DATASETS[model_config.dataset]
+        self.video = model_config.variant == "lstm"
+        self.log_every = log_every
+
+        self.train_loader, self.val_loader, self.test_loader = (
+            get_dataloader(
+                model_config.dataset,
+                train_dir,
+                val_dir,
+                train_config.sigma,
+                train_config.stride,
+                train_config.workers,
+                train_config.batch_size,
+                frame_memory=model_config.frame_memory if self.video else None,
+                seed=train_config.seed,
+            )
+            if (train_dir or val_dir)
+            else (None, None, None)
+        )
+
+        rng = jax.random.PRNGKey(train_config.seed)
+        self.model, self.tx, self.state = create_train_state(
+            model_config, train_config, rng
+        )
+        if pretrained:
+            variant = "lstm" if self.video else "image"
+            self.state = warm_start_from_torch(
+                self.state, pretrained, variant=variant
+            )
+
+        self.mesh = mesh or make_mesh(train_config.mesh_shape, train_config.mesh_axes)
+        self.state = replicate(self.state, self.mesh)
+        self.train_step = make_train_step(
+            self.model, self.tx, self.spec, video=self.video
+        )
+        self.eval_step = make_eval_step(self.model, self.spec, video=self.video)
+
+        self.is_best = 0.0
+        self.best_pck = 0.0
+        self.best_pckh = 0.0
+        self.model_name = train_config.model_name
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch):
+        keep = ("image", "frames", "kpts", "centers")
+        sub = {k: v for k, v in batch.items() if k in keep}
+        return shard_batch(sub, self.mesh)
+
+    def training(self, epoch: int) -> float:
+        print(f"Epoch {epoch}:")
+        train_loss = 0.0
+        n = 0
+        t0 = time.time()
+        self.train_loader.set_epoch(epoch)
+        for i, batch in enumerate(self.train_loader):
+            self.state, metrics = self.train_step(
+                self.state, self._device_batch(batch)
+            )
+            train_loss += float(metrics["loss"])
+            n += 1
+            if (i + 1) % self.log_every == 0:
+                rate = n / (time.time() - t0)
+                print(
+                    f"  iter {i + 1}/{len(self.train_loader)} "
+                    f"loss {train_loss / n:.6f} ({rate:.2f} it/s)"
+                )
+        return train_loss / max(n, 1)
+
+    # ------------------------------------------------------------------
+    def validation(self, epoch: int) -> float:
+        k = self.model_config.num_classes
+        AP = np.zeros(k + 1)
+        PCK = np.zeros(k + 1)
+        PCKh = np.zeros(k + 1)
+        count = np.zeros(k + 1)
+        val_loss = 0.0
+        mAP = mPCK = mPCKh = 0.0
+        frame_idx = 0
+
+        for batch in self.val_loader:
+            heat, target, loss = self.eval_step(
+                self.state.params, self.state.batch_stats, self._device_batch(batch)
+            )
+            val_loss += float(loss)
+            heat = np.asarray(heat)
+            target = np.asarray(target)
+            if self.video:
+                frames = [
+                    (heat[:, j], target[:, j]) for j in range(heat.shape[1])
+                ]
+            else:
+                frames = [(heat, target)]
+
+            for h, t in frames:
+                acc, acc_pck, acc_pckh, _, _, visible = accuracy(
+                    h, t, 0.2, 0.5, self.model_config.dataset, layout="NHWC"
+                )
+                # running means, visibility-gated per joint (unipose.py:163-176)
+                AP[0] = (AP[0] * frame_idx + acc[0]) / (frame_idx + 1)
+                PCK[0] = (PCK[0] * frame_idx + acc_pck[0]) / (frame_idx + 1)
+                PCKh[0] = (PCKh[0] * frame_idx + acc_pckh[0]) / (frame_idx + 1)
+                for j in range(1, k + 1):
+                    if visible[j] == 1:
+                        AP[j] = (AP[j] * count[j] + acc[j]) / (count[j] + 1)
+                        PCK[j] = (PCK[j] * count[j] + acc_pck[j]) / (count[j] + 1)
+                        PCKh[j] = (PCKh[j] * count[j] + acc_pckh[j]) / (count[j] + 1)
+                        count[j] += 1
+                frame_idx += 1
+
+            mAP = AP[1:].sum() / k
+            mPCK = PCK[1:].sum() / k
+            mPCKh = PCKh[1:].sum() / k
+
+        print_accuracies(mAP, AP, mPCKh, PCKh, mPCK, PCK, self.model_config.dataset)
+
+        if mAP > self.is_best:
+            self.is_best = mAP
+            if self.model_name:
+                save_checkpoint(self.state, True, self.model_name)
+                print(f"Model saved to {self.model_name}")
+        self.best_pckh = max(self.best_pckh, mPCKh)
+        self.best_pck = max(self.best_pck, mPCK)
+        print(
+            "Best AP = %.2f%%; PCK = %2.2f%%; PCKh = %2.2f%%"
+            % (self.is_best * 100, self.best_pck * 100, self.best_pckh * 100)
+        )
+        return mAP
