@@ -1,0 +1,84 @@
+"""Benchmark: UniPose image-model inference throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N, ...}
+
+Measurement: steady-state forward at 368x368 (compile excluded), bf16
+compute / f32 heatmap output, NHWC, best over a small batch sweep — the
+flagship config (BASELINE.json: frames/sec/chip at 368x368).
+
+``vs_baseline`` compares against an A100 estimate for the PyTorch reference,
+since the reference repo publishes no numbers (BASELINE.md): UniPose
+ResNet-101+WASP is ~30 GFLOPs/frame forward; PyTorch fp32 w/ cudnn.benchmark
+on A100 sustains roughly 10 TFLOP/s on this conv mix => ~300 frames/s. The
+north-star target is 5x that (1500 f/s/chip), reported as ``vs_target``.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REFERENCE_FPS_ESTIMATE = 300.0
+TARGET_MULTIPLier = 5.0
+
+
+def bench_forward(batch_sizes=(8, 16, 32), iters=20, warmup=3):
+    from unipose_tpu.core.config import ModelConfig
+    from unipose_tpu.models.unipose import build_model
+
+    config = ModelConfig(dataset="LSP", num_classes=14, compute_dtype=jnp.bfloat16)
+    model = build_model(config)
+    x0 = jnp.zeros((1, 368, 368, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+
+    @jax.jit
+    def forward(x):
+        return model.apply(variables, x, train=False)
+
+    results = {}
+    for b in batch_sizes:
+        x = jax.device_put(
+            np.random.RandomState(0).rand(b, 368, 368, 3).astype(np.float32)
+        )
+        try:
+            for _ in range(warmup):
+                forward(x).block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = forward(x)
+            out.block_until_ready()
+            dt = time.perf_counter() - t0
+            results[b] = b * iters / dt
+        except Exception as e:  # OOM at large batch etc.
+            results[b] = None
+    return results
+
+
+def main():
+    dev = jax.devices()[0]
+    results = bench_forward()
+    valid = {b: f for b, f in results.items() if f}
+    best_batch, best_fps = max(valid.items(), key=lambda kv: kv[1])
+    record = {
+        "metric": "unipose_image_inference_368",
+        "value": round(best_fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(best_fps / A100_REFERENCE_FPS_ESTIMATE, 3),
+        "vs_target": round(
+            best_fps / (TARGET_MULTIPLier * A100_REFERENCE_FPS_ESTIMATE), 3
+        ),
+        "batch": best_batch,
+        "sweep": {str(b): (round(f, 2) if f else None) for b, f in results.items()},
+        "device": str(dev.device_kind),
+        "dtype": "bfloat16",
+    }
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()
