@@ -244,3 +244,25 @@ def get_preset(name: str) -> Preset:
         raise KeyError(
             f"Unknown preset {name!r}; available: {sorted(PRESETS)}"
         ) from None
+
+
+def load_yaml_config(path: str) -> Preset:
+    """YAML -> (ModelConfig, TrainConfig) preset.
+
+    Successor of the reference's unused ``Config`` YAML->EasyDict helper
+    (utils/utils.py:58-64), but typed: top-level keys ``preset`` (optional
+    base), ``model`` and ``train`` override preset fields.
+    """
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    base = get_preset(raw["preset"]) if "preset" in raw else PRESETS["lsp_infer"]
+    model = dataclasses.replace(base.model, **raw.get("model", {}))
+    train = dataclasses.replace(base.train, **raw.get("train", {}))
+    return Preset(
+        name=raw.get("name", base.name),
+        description=raw.get("description", base.description),
+        model=model,
+        train=train,
+    )

@@ -10,6 +10,7 @@ decay is exactly that policy; optax.adam matches torch.optim.Adam's update
 
 from __future__ import annotations
 
+import jax
 import optax
 
 from unipose_tpu.core.config import TrainConfig
@@ -27,3 +28,32 @@ def step_decay_schedule(base_lr: float, gamma: float, step_size: int):
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     schedule = step_decay_schedule(config.lr, config.gamma, config.step_size)
     return optax.adam(schedule)
+
+
+def make_optimizer_with_lr_groups(
+    config: TrainConfig, backbone_key: str = "backbone", head_multiple: float = 10.0
+) -> optax.GradientTransformation:
+    """Differential LR: backbone at 1x, everything else at ``head_multiple``x.
+
+    This is the *intended* behavior of the reference's ``get_1x_lr_params`` /
+    ``get_10x_lr_params`` (model/unipose.py:47-65 — broken there: it
+    references an undefined ``self.aspp`` and the trainer never calls it,
+    using a single Adam group instead).  Exposed as an opt-in.
+    """
+
+    def label_tree(params):
+        return {
+            k: jax.tree_util.tree_map(
+                lambda _: "backbone" if k == backbone_key else "head", v
+            )
+            for k, v in params.items()
+        }
+
+    sched = step_decay_schedule(config.lr, config.gamma, config.step_size)
+    head_sched = step_decay_schedule(
+        config.lr * head_multiple, config.gamma, config.step_size
+    )
+    return optax.multi_transform(
+        {"backbone": optax.adam(sched), "head": optax.adam(head_sched)},
+        label_tree,
+    )
