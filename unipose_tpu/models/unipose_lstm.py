@@ -51,9 +51,10 @@ class ConvLSTM0(nn.Module):
         conv = lambda name: Conv(  # noqa: E731
             self.features, 3, padding=1, use_bias=True, dtype=self.dtype, name=name
         )
-        g = jnp.tanh(conv("conv_g_lstm")(x))
-        i = jax.nn.sigmoid(conv("conv_i_lstm")(x))
-        o = jax.nn.sigmoid(conv("conv_o_lstm")(x))
+        # f32 gate math / f32 state, matching ConvLSTMCell's carry dtype.
+        g = jnp.tanh(conv("conv_g_lstm")(x).astype(jnp.float32))
+        i = jax.nn.sigmoid(conv("conv_i_lstm")(x).astype(jnp.float32))
+        o = jax.nn.sigmoid(conv("conv_o_lstm")(x).astype(jnp.float32))
         cell = jnp.tanh(g * i)
         hide = o * cell
         return cell, hide
@@ -77,16 +78,21 @@ class ConvLSTMCell(nn.Module):
     ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
         prev_cell, prev_hide = carry
         xg = Conv(4 * self.features, 3, padding=1, use_bias=True, dtype=self.dtype, name="conv_x_gates")(x)
-        hg = Conv(4 * self.features, 3, padding=1, use_bias=True, dtype=self.dtype, name="conv_h_gates")(prev_hide)
-        gates = xg + hg
+        hg = Conv(4 * self.features, 3, padding=1, use_bias=True, dtype=self.dtype, name="conv_h_gates")(
+            prev_hide.astype(x.dtype)
+        )
+        # Gate math and the cell carry run in f32 even under a bf16 compute
+        # policy — the recurrent accumulation otherwise drifts over long
+        # rollouts (SURVEY §7.3 hard-part 4).
+        gates = (xg + hg).astype(jnp.float32)
         g, i, o, f = jnp.split(gates, 4, axis=-1)
         gt = jnp.tanh(g)
         it = jax.nn.sigmoid(i)
         ot = jax.nn.sigmoid(o)
         ft = jax.nn.sigmoid(f)
-        cell = ft * prev_cell + it * gt
+        cell = ft * prev_cell.astype(jnp.float32) + it * gt
         hide = ot * jnp.tanh(cell)
-        return (cell, hide), hide
+        return (cell, hide), hide.astype(x.dtype)
 
 
 class LSTMHead(nn.Module):
@@ -170,9 +176,9 @@ class UniPoseLSTM(nn.Module):
             rest = z[1:]
         else:
             cell0, hide0 = initial_state
-            cell0 = cell0.astype(z.dtype)
-            hide0 = hide0.astype(z.dtype)
             rest = z
+        cell0 = cell0.astype(jnp.float32)  # f32 recurrent carry
+        hide0 = hide0.astype(jnp.float32)
 
         cell_cls = nn.remat(ConvLSTMCell) if self.remat_scan else ConvLSTMCell
         scanned = nn.scan(
@@ -185,7 +191,9 @@ class UniPoseLSTM(nn.Module):
         (cell_t, hide_t), hides = scanned((cell0, hide0), rest)
 
         if initial_state is None:
-            hides = jnp.concatenate([hide0[None], hides], axis=0)  # (T, B, ...)
+            hides = jnp.concatenate(
+                [hide0[None].astype(hides.dtype), hides], axis=0
+            )  # (T, B, ...)
 
         # --- head, batched over B*T ---
         hides_bt = jnp.moveaxis(hides, 0, 1).reshape(b * t, h8, w8, lstm_ch)

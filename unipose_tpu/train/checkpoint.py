@@ -49,6 +49,40 @@ def save_checkpoint(
     return None
 
 
+class CheckpointManager:
+    """Periodic checkpointing with retention + latest-restore — the
+    preemption/auto-resume story the reference lacks (SURVEY §5.3)."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = _as_path(directory)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state: TrainState) -> None:
+        self._mgr.save(
+            step, args=ocp.args.StandardSave(jax.device_get(state))
+        )
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore_latest(self, template: TrainState) -> Optional[TrainState]:
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(jax.device_get(template))
+        )
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
 def warm_start_from_torch(
     state: TrainState, torch_path: str, *, variant: str = "image"
 ) -> TrainState:

@@ -70,6 +70,20 @@ class Trainer:
                 self.state, pretrained, variant=variant
             )
 
+        # auto-resume from the newest periodic checkpoint (preemption story)
+        self.ckpt_manager = None
+        if train_config.checkpoint_dir:
+            from unipose_tpu.train.checkpoint import CheckpointManager
+
+            self.ckpt_manager = CheckpointManager(train_config.checkpoint_dir)
+            restored = self.ckpt_manager.restore_latest(self.state)
+            if restored is not None:
+                self.state = restored
+                print(
+                    f"resumed from step {int(self.state.step)} "
+                    f"({train_config.checkpoint_dir})"
+                )
+
         self.mesh = mesh or make_mesh(train_config.mesh_shape, train_config.mesh_axes)
         self.state = replicate(self.state, self.mesh)
         self.train_step = make_train_step(
@@ -106,6 +120,8 @@ class Trainer:
                     f"  iter {i + 1}/{len(self.train_loader)} "
                     f"loss {train_loss / n:.6f} ({rate:.2f} it/s)"
                 )
+        if self.ckpt_manager is not None:
+            self.ckpt_manager.save(int(self.state.step), self.state)
         return train_loss / max(n, 1)
 
     # ------------------------------------------------------------------

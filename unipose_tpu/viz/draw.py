@@ -96,6 +96,32 @@ def draw_paint(
     return im
 
 
+def draw_bbox(
+    box,
+    image,
+    heatmaps: Optional[np.ndarray] = None,
+    dataset: str = "LSP",
+    out_path: Optional[str] = None,
+):
+    """Render a (center_x, center_y, w, h) box + optional skeleton
+    (Reference: utils/utils.py:502-580 ``draw_BBox``)."""
+    if isinstance(image, str):
+        image = cv2.resize(cv2.imread(image), (368, 368))
+    im = np.ascontiguousarray(image).astype(np.uint8)
+    cx, cy, bw, bh = [float(v) for v in np.asarray(box).reshape(-1)[:4]]
+    p1 = (int(cx - bw / 2), int(cy - bh / 2))
+    p2 = (int(cx + bw / 2), int(cy + bh / 2))
+    cv2.rectangle(im, p1, p2, (0, 0, 255), 2)
+    cv2.circle(im, (int(cx), int(cy)), radius=2, thickness=-1, color=(0, 0, 255))
+    if heatmaps is not None:
+        kpts = get_kpts(heatmaps)
+        im = draw_paint(im, kpts, dataset)
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        cv2.imwrite(out_path, im)
+    return im
+
+
 def heatmap_overlays(
     heat: np.ndarray,
     image,
