@@ -34,6 +34,21 @@ A100_REFERENCE_FPS_ESTIMATE = 300.0
 TARGET_MULTIPLE = 5.0
 
 
+def zeros_variables(model, *sample_args, **kwargs):
+    """Zero-valued variables via eval_shape — no init program to compile.
+
+    Param values are irrelevant for throughput measurement, and this skips a
+    multi-minute remote compile of the init graph (the persistent compile
+    cache does not survive across processes on this backend).
+    """
+    shapes = jax.eval_shape(
+        lambda k, *a: model.init(k, *a, train=False, **kwargs),
+        jax.random.PRNGKey(0),
+        *sample_args,
+    )
+    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
 def bench_forward(batch_sizes=(32,), iters=30, warmup=3):
     from unipose_tpu.core.config import ModelConfig
     from unipose_tpu.models.unipose import build_model
@@ -41,7 +56,7 @@ def bench_forward(batch_sizes=(32,), iters=30, warmup=3):
     config = ModelConfig(dataset="LSP", num_classes=14, compute_dtype=jnp.bfloat16)
     model = build_model(config)
     x0 = jnp.zeros((1, 368, 368, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    variables = zeros_variables(model, x0)
 
     @jax.jit
     def forward(x):
@@ -81,7 +96,7 @@ def bench_video(batch=4, t_frames=5, iters=10, warmup=2):
     model = build_model(config)
     f0 = jnp.zeros((1, t_frames, 368, 368, 3), jnp.float32)
     c0 = jnp.zeros((1, t_frames, 368, 368, 1), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), f0, c0, train=False)
+    variables = zeros_variables(model, f0, c0)
 
     @jax.jit
     def forward(f, c):

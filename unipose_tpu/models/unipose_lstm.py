@@ -180,7 +180,11 @@ class UniPoseLSTM(nn.Module):
         cell0 = cell0.astype(jnp.float32)  # f32 recurrent carry
         hide0 = hide0.astype(jnp.float32)
 
-        cell_cls = nn.remat(ConvLSTMCell) if self.remat_scan else ConvLSTMCell
+        # remat pays off only under autodiff (long-rollout BPTT memory);
+        # in eval it just burns compile time.
+        cell_cls = (
+            nn.remat(ConvLSTMCell) if (self.remat_scan and train) else ConvLSTMCell
+        )
         scanned = nn.scan(
             cell_cls,
             variable_broadcast="params",
