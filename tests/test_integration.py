@@ -1,0 +1,79 @@
+"""End-to-end integration: synthetic LSP data on disk -> loaders ->
+Trainer.training + Trainer.validation on the CPU mesh (tiny input size)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+import scipy.io  # noqa: E402
+
+from unipose_tpu.core.config import DATASETS, ModelConfig, TrainConfig
+from unipose_tpu.data import transforms as T
+from unipose_tpu.data.loader import PrefetchLoader
+from unipose_tpu.data.lsp import LSPDataset
+
+SIZE = 64
+
+
+def make_lsp_root(tmp_path, name, mode, n):
+    root = tmp_path / name
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        os.makedirs(root / "images", exist_ok=True)
+        cv2.imwrite(
+            str(root / "images" / f"im{i + 1:04d}.jpg"),
+            rng.randint(0, 255, (80, 90, 3), np.uint8),
+        )
+    if mode == "lsp":
+        joints = np.zeros((3, 14, n))
+        joints[0] = rng.uniform(5, 85, (14, n))
+        joints[1] = rng.uniform(5, 75, (14, n))
+        joints[2] = rng.randint(0, 2, (14, n))
+    else:
+        joints = np.zeros((14, 3, n))
+        joints[:, 0, :] = rng.uniform(5, 85, (14, n))
+        joints[:, 1, :] = rng.uniform(5, 75, (14, n))
+        joints[:, 2, :] = rng.randint(0, 2, (14, n))
+    scipy.io.savemat(str(root / "joints.mat"), {"joints": joints})
+    return str(root)
+
+
+@pytest.mark.slow
+def test_trainer_end_to_end(tmp_path):
+    from unipose_tpu.train.trainer import Trainer
+
+    train_root = make_lsp_root(tmp_path, "lspet", "lspet", 4)
+    val_root = make_lsp_root(tmp_path, "lsp", "lsp", 2)
+
+    spec = dataclasses.replace(DATASETS["LSP"], input_size=SIZE)
+    train_ds = LSPDataset(
+        "lspet", train_root, 3.0, 8,
+        T.Compose([T.RandomHorizontalFlip()]), input_size=SIZE,
+    )
+    val_ds = LSPDataset(
+        "lsp", val_root, 3.0, 8, T.Compose([]), input_size=SIZE
+    )
+    loaders = (
+        PrefetchLoader(train_ds, 2, shuffle=True, num_workers=2),
+        PrefetchLoader(val_ds, 1, shuffle=False, num_workers=1, drop_last=False),
+        None,
+    )
+
+    mc = ModelConfig(dataset="LSP", num_classes=14)
+    tc = TrainConfig(batch_size=2, lr=1e-3, checkpoint_dir=str(tmp_path / "ckpt"))
+    trainer = Trainer(mc, tc, spec=spec, loaders=loaders, log_every=1)
+
+    loss = trainer.training(0)
+    assert np.isfinite(loss)
+    assert int(trainer.state.step) == 2  # 4 samples / batch 2
+
+    mAP = trainer.validation(0)
+    assert 0.0 <= mAP <= 1.0
+
+    # periodic checkpoint written; a fresh trainer resumes from it
+    assert os.path.isdir(tmp_path / "ckpt")
+    trainer2 = Trainer(mc, tc, spec=spec, loaders=loaders, log_every=1)
+    assert int(trainer2.state.step) == 2

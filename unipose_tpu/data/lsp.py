@@ -89,6 +89,7 @@ class LSPDataset:
         stride: int,
         transformer=None,
         rescale_kpts: bool = False,
+        input_size: int = 368,
     ):
         """``rescale_kpts=False`` reproduces the reference exactly (keypoints
         stay at original-image scale after the 368 resize,
@@ -102,6 +103,7 @@ class LSPDataset:
         self.sigma = sigma
         self.transformer = transformer
         self.rescale_kpts = rescale_kpts
+        self.input_size = int(input_size)
 
     def __len__(self):
         return len(self.img_list)
@@ -109,17 +111,18 @@ class LSPDataset:
     def __getitem__(self, index: int):
         path = self.img_list[index]
         raw = cv2.imread(path)
-        img = np.array(cv2.resize(raw, (368, 368)), dtype=np.float32)
+        size = self.input_size
+        img = np.array(cv2.resize(raw, (size, size)), dtype=np.float32)
         kpt = self.kpt_list[index].copy()
         center = self.center_list[index].copy()
         scale = float(self.scale_list[index])
 
         if self.rescale_kpts:
             h0, w0 = raw.shape[:2]
-            kpt[:, 0] *= 368.0 / w0
-            kpt[:, 1] *= 368.0 / h0
-            center[0] *= 368.0 / w0
-            center[1] *= 368.0 / h0
+            kpt[:, 0] *= size / w0
+            kpt[:, 1] *= size / h0
+            center[0] *= size / w0
+            center[1] *= size / h0
 
         if self.transformer is not None:
             img, kpt, center = self.transformer(img, kpt, center, scale)

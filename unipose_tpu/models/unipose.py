@@ -85,7 +85,12 @@ def build_model(config: ModelConfig) -> nn.Module:
     raise ValueError(f"unknown variant {config.variant!r}")
 
 
-def init_model(config: ModelConfig, rng: jax.Array, sample_batch: int = 1):
+def init_model(
+    config: ModelConfig,
+    rng: jax.Array,
+    sample_batch: int = 1,
+    input_size: int = None,
+):
     """Initialize variables for a model; returns (module, variables).
 
     ``init`` is jitted: eager flax init dispatches every op individually
@@ -94,7 +99,7 @@ def init_model(config: ModelConfig, rng: jax.Array, sample_batch: int = 1):
     compilation cache.
     """
     model = build_model(config)
-    size = config.spec.input_size
+    size = input_size or config.spec.input_size
     if config.variant == "lstm":
         frames = jnp.zeros((sample_batch, config.frame_memory, size, size, 3))
         centermap = jnp.zeros((sample_batch, config.frame_memory, size, size, 1))

@@ -31,12 +31,13 @@ def create_train_state(
     model_config: ModelConfig,
     train_config: TrainConfig,
     rng: jax.Array,
+    input_size: int = None,
 ):
     """Returns (model, optimizer, TrainState)."""
     import jax.numpy as jnp
 
     init_rng, state_rng = jax.random.split(rng)
-    model, variables = init_model(model_config, init_rng)
+    model, variables = init_model(model_config, init_rng, input_size=input_size)
     tx = make_optimizer(train_config)
     state = TrainState(
         params=variables["params"],

@@ -37,32 +37,40 @@ class Trainer:
         pretrained: Optional[str] = None,
         mesh=None,
         log_every: int = 50,
+        spec=None,
+        loaders=None,
     ):
+        """``spec``/``loaders`` overrides exist for tests and custom
+        pipelines; by default both derive from ``model_config.dataset``."""
         self.model_config = model_config
         self.train_config = train_config
-        self.spec = DATASETS[model_config.dataset]
+        self.spec = spec or DATASETS[model_config.dataset]
         self.video = model_config.variant == "lstm"
         self.log_every = log_every
 
-        self.train_loader, self.val_loader, self.test_loader = (
-            get_dataloader(
-                model_config.dataset,
-                train_dir,
-                val_dir,
-                train_config.sigma,
-                train_config.stride,
-                train_config.workers,
-                train_config.batch_size,
-                frame_memory=model_config.frame_memory if self.video else None,
-                seed=train_config.seed,
+        if loaders is not None:
+            self.train_loader, self.val_loader = loaders[0], loaders[1]
+            self.test_loader = loaders[2] if len(loaders) > 2 else None
+        else:
+            self.train_loader, self.val_loader, self.test_loader = (
+                get_dataloader(
+                    model_config.dataset,
+                    train_dir,
+                    val_dir,
+                    train_config.sigma,
+                    train_config.stride,
+                    train_config.workers,
+                    train_config.batch_size,
+                    frame_memory=model_config.frame_memory if self.video else None,
+                    seed=train_config.seed,
+                )
+                if (train_dir or val_dir)
+                else (None, None, None)
             )
-            if (train_dir or val_dir)
-            else (None, None, None)
-        )
 
         rng = jax.random.PRNGKey(train_config.seed)
         self.model, self.tx, self.state = create_train_state(
-            model_config, train_config, rng
+            model_config, train_config, rng, input_size=self.spec.input_size
         )
         if pretrained:
             variant = "lstm" if self.video else "image"
