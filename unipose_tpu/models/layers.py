@@ -111,6 +111,9 @@ class Conv(nn.Module):
             jnp.float32,
         )
         dtype = self.dtype or x.dtype
+        # No preferred_element_type: the TPU MXU accumulates bf16 operands in
+        # f32 internally, and requesting an f32 output breaks the conv VJP
+        # dtype matching under a bf16 policy.
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),
             kernel.astype(dtype),
@@ -118,8 +121,7 @@ class Conv(nn.Module):
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             rhs_dilation=(self.dilation, self.dilation),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
+        )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + b.astype(dtype)

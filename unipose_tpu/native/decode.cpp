@@ -1,0 +1,111 @@
+// Native data-pipeline core: threaded JPEG decode + optional crop + resize
+// + float32 conversion directly into a preallocated batch buffer.
+//
+// The reference delegates this work to Python-level cv2 calls inside torch
+// DataLoader worker *processes* (utils/lsp_lspet_data.py:211); here a C++
+// thread pool fills the whole batch with zero Python involvement per sample
+// — the host-side feeding path for TPU training where step times are ~17 ms
+// and Python per-sample overhead would otherwise bound throughput.
+//
+// C ABI (ctypes-friendly); see unipose_tpu/native/__init__.py.
+
+#include <atomic>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <opencv2/core.hpp>
+#include <opencv2/imgcodecs.hpp>
+#include <opencv2/imgproc.hpp>
+
+namespace {
+
+struct Job {
+  const char* path;
+  float* out;   // size*size*3 floats, BGR HWC
+  int size;
+  // crop (x0 <= -1 means no crop): crop the rectangle first, then resize.
+  int crop_x0, crop_y0, crop_w, crop_h;
+  // bottom_right_368: emulate BBC's img[-368:, -368:] crop when >0
+  int bottom_right;
+  int status;  // 0 ok, 1 read failure (buffer zero-filled)
+};
+
+void run_job(Job& j) {
+  cv::Mat img = cv::imread(j.path, cv::IMREAD_COLOR);
+  if (img.empty()) {
+    std::memset(j.out, 0, sizeof(float) * 3 * j.size * j.size);
+    j.status = 1;
+    return;
+  }
+  if (j.bottom_right > 0 && img.rows >= j.bottom_right &&
+      img.cols >= j.bottom_right) {
+    img = img(cv::Rect(img.cols - j.bottom_right, img.rows - j.bottom_right,
+                       j.bottom_right, j.bottom_right));
+  } else if (j.crop_x0 >= 0) {
+    cv::Rect r(j.crop_x0, j.crop_y0, j.crop_w, j.crop_h);
+    r &= cv::Rect(0, 0, img.cols, img.rows);
+    img = img(r);
+  }
+  cv::Mat resized;
+  cv::resize(img, resized, cv::Size(j.size, j.size));
+  cv::Mat out(j.size, j.size, CV_32FC3, j.out);
+  resized.convertTo(out, CV_32FC3);
+  j.status = 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode n images into out (n * size * size * 3 f32, BGR, 0..255).
+// crops: nullptr or n*4 ints (x0,y0,w,h; x0=-1 disables).
+// bottom_right: >0 applies the BBC-style bottom-right square crop.
+// statuses: nullptr or n ints (0 ok / 1 unreadable).
+// Returns number of failures.
+int unipose_decode_batch(const char** paths, int n, int size, float* out,
+                         const int* crops, int bottom_right, int* statuses,
+                         int n_threads) {
+  std::vector<Job> jobs(n);
+  for (int i = 0; i < n; ++i) {
+    Job& j = jobs[i];
+    j.path = paths[i];
+    j.out = out + static_cast<size_t>(i) * 3 * size * size;
+    j.size = size;
+    if (crops) {
+      j.crop_x0 = crops[i * 4 + 0];
+      j.crop_y0 = crops[i * 4 + 1];
+      j.crop_w = crops[i * 4 + 2];
+      j.crop_h = crops[i * 4 + 3];
+    } else {
+      j.crop_x0 = -1;
+      j.crop_y0 = j.crop_w = j.crop_h = 0;
+    }
+    j.bottom_right = bottom_right;
+    j.status = 0;
+  }
+
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      run_job(jobs[i]);
+    }
+  };
+  std::vector<std::thread> threads;
+  int spawn = std::min(n_threads, n);
+  threads.reserve(spawn);
+  for (int t = 0; t < spawn; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+
+  int failures = 0;
+  for (int i = 0; i < n; ++i) {
+    if (statuses) statuses[i] = jobs[i].status;
+    failures += jobs[i].status;
+  }
+  return failures;
+}
+
+}  // extern "C"
