@@ -58,6 +58,7 @@ def make_train_step(
     *,
     video: bool = False,
     donate: bool = True,
+    fused_loss: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the compiled train step.
 
@@ -65,6 +66,10 @@ def make_train_step(
       image variant: image (B, H, W, 3), kpts (B, K, 3)
       video variant: frames (B, T, H, W, 3), kpts (B, T, K, 3),
                      centers (B, T, 2)
+
+    ``fused_loss`` (image variant): use the Pallas kernel that synthesizes
+    Gaussian targets inside the loss fwd/bwd instead of materializing them
+    (ops/pallas/heatmap_loss.py).
     """
 
     def step(state: TrainState, batch):
@@ -77,7 +82,7 @@ def make_train_step(
             t = x.shape[1]
         else:
             x = preprocess_images(batch["image"])
-            targets = make_targets(batch["kpts"], spec)
+            targets = None if fused_loss else make_targets(batch["kpts"], spec)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -99,7 +104,14 @@ def make_train_step(
                     mutable=["batch_stats"],
                     rngs={"dropout": dropout_rng},
                 )
-                loss = mse(out, targets)
+                if fused_loss:
+                    from unipose_tpu.ops.pallas.heatmap_loss import heatmap_mse
+
+                    loss = heatmap_mse(
+                        out, batch["kpts"][..., :2], spec.stride, spec.sigma
+                    )
+                else:
+                    loss = mse(out, targets)
             return loss, mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
