@@ -1,0 +1,54 @@
+"""Eval-only CLI: restore a checkpoint and run validation with the per-joint
+PCK/PCKh/AP report (Reference: unipose.py validation loop, :133-193)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="unipose_tpu evaluation")
+    p.add_argument("--dataset", type=str, default="LSP")
+    p.add_argument("--val_dir", required=True, type=str)
+    p.add_argument("--pretrained", default=None, type=str,
+                   help="torch .pth.tar warm start")
+    p.add_argument("--checkpoint_dir", default=None, type=str,
+                   help="orbax checkpoint dir to restore")
+    p.add_argument("--model_arch", default="unipose", type=str,
+                   choices=["unipose", "uniposeLSTM"])
+    p.add_argument("--frame_memory", default=5, type=int)
+    p.add_argument("--bf16", action="store_true")
+    args = p.parse_args(argv)
+
+    from unipose_tpu.cli.train import configs_from_args
+    from unipose_tpu.train.trainer import Trainer
+
+    ns = argparse.Namespace(
+        dataset=args.dataset,
+        model_arch=args.model_arch,
+        frame_memory=args.frame_memory,
+        bf16=args.bf16,
+        batch_size=None,
+        lr=1e-4,
+        epochs=1,
+        seed=0,
+        model_name=None,
+    )
+    model_config, train_config = configs_from_args(ns)
+    if args.checkpoint_dir:
+        import dataclasses
+
+        train_config = dataclasses.replace(
+            train_config, checkpoint_dir=args.checkpoint_dir
+        )
+    trainer = Trainer(
+        model_config,
+        train_config,
+        val_dir=args.val_dir,
+        pretrained=args.pretrained,
+    )
+    trainer.validation(0)
+
+
+if __name__ == "__main__":
+    main()
