@@ -13,7 +13,6 @@ Unlike the reference, flags are not silently overridden after parsing
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 from unipose_tpu.core.config import DATASETS, ModelConfig, TrainConfig
 

@@ -19,8 +19,6 @@ scan).  ``seq_len=1`` reproduces the per-frame reference behavior.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 try:

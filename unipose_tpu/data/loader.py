@@ -10,7 +10,6 @@ shapes (drop_last in train) as TPU inputs must be.
 from __future__ import annotations
 
 import concurrent.futures as cf
-import threading
 from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np

@@ -20,16 +20,12 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Optional
-
 import numpy as np
 
 try:
     import cv2
 except ImportError:  # pragma: no cover
     cv2 = None
-
-from unipose_tpu.data import transforms as T
 
 
 def read_data_file(root_dir: str):

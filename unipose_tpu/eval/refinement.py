@@ -17,8 +17,6 @@ called by the trainers).  Provided for API-surface parity, numpy-native:
 from __future__ import annotations
 
 import math
-from typing import Sequence
-
 import numpy as np
 
 MPII_MATCHED_PARTS = ((0, 5), (1, 4), (2, 3), (10, 15), (11, 14), (12, 13))

@@ -9,7 +9,7 @@ checkpoints by key intersection (Reference: unipose.py:79-90).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -126,12 +126,3 @@ class Conv(nn.Module):
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + b.astype(dtype)
         return y
-
-
-def dropout(x: jnp.ndarray, rate: float, deterministic: bool, rng=None) -> jnp.ndarray:
-    """Inverted dropout matching ``nn.Dropout`` train behavior."""
-    if deterministic or rate == 0.0:
-        return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
-    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

@@ -18,8 +18,6 @@ division, clamp to [0.0099, 1], background channel = 1 - max(joints).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

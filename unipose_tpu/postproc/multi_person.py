@@ -14,7 +14,7 @@ and a jax twin is provided for on-device peak finding.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import List
 
 import numpy as np
 import jax.numpy as jnp

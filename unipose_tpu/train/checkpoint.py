@@ -11,10 +11,9 @@ the reference's best-only external semantics.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from unipose_tpu.train.state import TrainState

@@ -13,8 +13,7 @@ per-frame MSE means (uniposeLSTM.py:124-128), i.e. ``T * mean``.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ try:
 except ImportError:  # pragma: no cover
     cv2 = None
 
-from unipose_tpu.compat.torch_convert import to_nhwc
 from unipose_tpu.ops.resize import bilinear_resize
 
 LIMB_SEQ = {
