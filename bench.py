@@ -70,9 +70,8 @@ def chained_timer(step_scalar_fn, iters: int):
 
     float(loop())  # compile + warm
     t0 = time.perf_counter()
-    val = float(loop())
+    float(loop())  # the scalar fetch is the single synchronization point
     dt = time.perf_counter() - t0
-    assert np.isfinite(val) or True
     return dt / iters
 
 
@@ -135,7 +134,7 @@ def bench_video(batch=4, t_frames=5, iters=10, warmup=2):
 def main():
     full = "--full" in sys.argv
     dev = jax.devices()[0]
-    results = bench_forward(batch_sizes=(8, 16, 32) if full else (32,))
+    results = bench_forward(batch_sizes=(8, 16, 32, 64) if full else (32,))
     valid = {b: f for b, f in results.items() if f}
     best_batch, best_fps = max(valid.items(), key=lambda kv: kv[1])
     record = {

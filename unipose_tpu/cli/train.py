@@ -34,6 +34,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--frame_memory", default=5, type=int)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--config", default=None, type=str,
+                   help="YAML config (see core.config.load_yaml_config); "
+                        "overrides the other model/train flags")
+    p.add_argument("--checkpoint_dir", default=None, type=str,
+                   help="periodic-checkpoint/auto-resume directory")
     return p
 
 
@@ -65,8 +70,20 @@ def configs_from_args(args) -> tuple:
 
 
 def main(argv=None):
+    import dataclasses
+
     args = build_argparser().parse_args(argv)
-    model_config, train_config = configs_from_args(args)
+    if args.config:
+        from unipose_tpu.core.config import load_yaml_config
+
+        preset = load_yaml_config(args.config)
+        model_config, train_config = preset.model, preset.train
+    else:
+        model_config, train_config = configs_from_args(args)
+    if args.checkpoint_dir:
+        train_config = dataclasses.replace(
+            train_config, checkpoint_dir=args.checkpoint_dir
+        )
 
     from unipose_tpu.train.trainer import Trainer
 
