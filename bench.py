@@ -41,8 +41,9 @@ def zeros_variables(model, *sample_args, **kwargs):
     multi-minute remote compile of the init graph (the persistent compile
     cache does not survive across processes on this backend).
     """
+    kwargs.setdefault("train", False)
     shapes = jax.eval_shape(
-        lambda k, *a: model.init(k, *a, train=False, **kwargs),
+        lambda k, *a: model.init(k, *a, **kwargs),
         jax.random.PRNGKey(0),
         *sample_args,
     )

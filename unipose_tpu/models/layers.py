@@ -89,7 +89,7 @@ class Conv(nn.Module):
     features: int
     kernel_size: Union[int, Tuple[int, int]]
     stride: int = 1
-    padding: int = 0
+    padding: Union[int, Tuple[Tuple[int, int], Tuple[int, int]]] = 0
     dilation: int = 1
     use_bias: bool = False
     dtype: Optional[Dtype] = None
@@ -114,11 +114,16 @@ class Conv(nn.Module):
         # No preferred_element_type: the TPU MXU accumulates bf16 operands in
         # f32 internally, and requesting an f32 output breaks the conv VJP
         # dtype matching under a bf16 policy.
+        pad = (
+            ((self.padding, self.padding), (self.padding, self.padding))
+            if isinstance(self.padding, int)
+            else tuple(tuple(p) for p in self.padding)
+        )
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),
             kernel.astype(dtype),
             window_strides=(self.stride, self.stride),
-            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            padding=pad,
             rhs_dilation=(self.dilation, self.dilation),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )

@@ -20,8 +20,42 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+import numpy as np
+
 from unipose_tpu.models.layers import Conv, TorchBatchNorm
 from unipose_tpu.ops.pooling import max_pool2d
+
+
+def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/b, W/b, b*b*C), channel order (dy, dx, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // block, w // block, block * block * c)
+
+
+def s2d_stem_kernel(w7: np.ndarray) -> np.ndarray:
+    """Transform the 7x7/2 stem kernel (7, 7, 3, 64 HWIO) into the exact
+    equivalent 4x4 stride-1 kernel (4, 4, 12, 64) on space-to-depth(2) input.
+
+    Derivation: the stride-2 conv tap at offset u in [-3, 3] maps to s2d tap
+    (ti, dy) with u = 2*ti + dy - 4 under leading padding 2, i.e.
+    ``w4[ti, tj, (dy, dx, c)] = w7[2ti+dy-1, 2tj+dx-1, c]`` where
+    out-of-range rows/cols are zero.  Verified bit-exact in tests.
+    """
+    w7 = np.asarray(w7)
+    cin, cout = w7.shape[2], w7.shape[3]
+    w4 = np.zeros((4, 4, 4 * cin, cout), w7.dtype)
+    for ti in range(4):
+        for tj in range(4):
+            for dy in range(2):
+                for dx in range(2):
+                    u, v = 2 * ti + dy - 1, 2 * tj + dx - 1
+                    if 0 <= u < 7 and 0 <= v < 7:
+                        w4[ti, tj, (dy * 2 + dx) * cin : (dy * 2 + dx + 1) * cin] = (
+                            w7[u, v]
+                        )
+    return w4
 
 
 class Bottleneck(nn.Module):
@@ -102,6 +136,7 @@ class ResNet101(nn.Module):
     output_stride: int = 16
     layers: Tuple[int, int, int, int] = (3, 4, 23, 3)
     multi_grid: Tuple[int, ...] = (1, 2, 4)
+    stem_s2d: bool = False  # exact space-to-depth rewrite of the 7x7/2 stem
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -117,7 +152,17 @@ class ResNet101(nn.Module):
         else:
             raise NotImplementedError(f"output_stride {self.output_stride}")
 
-        x = Conv(64, 7, stride=2, padding=3, dtype=self.dtype, name="conv1")(x)
+        if self.stem_s2d:
+            # bit-equivalent to conv 7x7/2 pad 3 (see s2d_stem_kernel), but
+            # with a 12-channel contraction the MXU maps far better than a
+            # 3-channel one.
+            x = space_to_depth(x, 2)
+            x = Conv(
+                64, 4, stride=1, padding=((2, 1), (2, 1)),
+                dtype=self.dtype, name="conv1_s2d",
+            )(x)
+        else:
+            x = Conv(64, 7, stride=2, padding=3, dtype=self.dtype, name="conv1")(x)
         x = TorchBatchNorm(dtype=self.dtype, name="bn1")(x, use_running_average=not train)
         x = nn.relu(x)
         x = max_pool2d(x, 3, 2, 1)
