@@ -107,7 +107,11 @@ def make_train_step(
                     from unipose_tpu.ops.pallas.heatmap_loss import heatmap_mse
 
                     loss = heatmap_mse(
-                        out, batch["kpts"][..., :2], spec.stride, spec.sigma
+                        out,
+                        batch["kpts"][..., :2],
+                        spec.stride,
+                        spec.sigma,
+                        jax.default_backend() != "tpu",  # interpret off-TPU
                     )
                 else:
                     loss = mse(out, targets)
