@@ -141,3 +141,55 @@ def test_head_reroot(rng):
     np.testing.assert_array_equal(
         out["params"]["head"]["conv1"]["weight"], w.transpose(2, 3, 1, 0)
     )
+
+
+def test_torchvision_backbone_prefix(rng):
+    """Raw torchvision-style keys load into the backbone subtree via
+    key_prefix (reference ImageNet warm start, resnet.py:138-150)."""
+    template = {
+        "params": {
+            "backbone": {
+                "conv1": {"weight": np.zeros((7, 7, 3, 64), np.float32)},
+                "layer1": {
+                    "0": {"conv1": {"weight": np.zeros((1, 1, 64, 64), np.float32)}}
+                },
+            }
+        },
+        "batch_stats": {},
+    }
+    w = rng.randn(64, 3, 7, 7).astype(np.float32)
+    state = {
+        "conv1.weight": w,
+        "layer1.0.conv1.weight": rng.randn(64, 64, 1, 1).astype(np.float32),
+        "fc.weight": rng.randn(1000, 2048).astype(np.float32),  # no target
+    }
+    out, report = convert_state_dict(state, template, key_prefix="backbone.")
+    assert "backbone.conv1.weight" in report["loaded"]
+    assert "backbone.fc.weight" in report["skipped"]
+    np.testing.assert_array_equal(
+        out["params"]["backbone"]["conv1"]["weight"], w.transpose(2, 3, 1, 0)
+    )
+
+
+def test_load_torch_checkpoint_file(tmp_path, rng):
+    """Round-trip through a real torch .pth.tar file, including the
+    reference's {'state_dict': ...} wrapper and module. prefix stripping."""
+    state = {
+        "module.backbone.conv1.weight": torch.from_numpy(
+            rng.randn(64, 3, 7, 7).astype(np.float32)
+        ),
+        "module.wasp.bn1.running_mean": torch.from_numpy(
+            rng.randn(256).astype(np.float32)
+        ),
+    }
+    path = str(tmp_path / "ckpt_best.pth.tar")
+    torch.save({"state_dict": state}, path)
+
+    from unipose_tpu.compat.torch_convert import load_torch_checkpoint
+
+    loaded = load_torch_checkpoint(path)
+    assert set(loaded) == {"backbone.conv1.weight", "wasp.bn1.running_mean"}
+    np.testing.assert_array_equal(
+        loaded["backbone.conv1.weight"],
+        state["module.backbone.conv1.weight"].numpy(),
+    )

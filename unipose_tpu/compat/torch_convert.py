@@ -89,6 +89,7 @@ def convert_state_dict(
     variables: Mapping[str, Any],
     *,
     variant: str = "image",
+    key_prefix: str = "",
 ) -> Tuple[Dict[str, Any], Dict[str, list]]:
     """Convert a torch ``state_dict`` into a flax ``variables`` tree.
 
@@ -98,11 +99,17 @@ def convert_state_dict(
         replaced by key intersection, everything else is preserved.
       variant: "image" (model/unipose.py tree) or "lstm"
         (model/uniposeLSTM.py tree, with gate packing and head re-rooting).
+      key_prefix: prepended to every torch key before matching — e.g.
+        ``"backbone."`` to load a raw torchvision ImageNet resnet101
+        checkpoint into the backbone subtree, mirroring the reference's
+        pretrained init (resnet.py:138-150).
 
     Returns:
       (new_variables, report) where report lists 'loaded' and 'skipped' torch
       keys.
     """
+    if key_prefix:
+        state = {key_prefix + k: v for k, v in state.items()}
     out = _to_mutable(variables)
     report = {"loaded": [], "skipped": []}
 
