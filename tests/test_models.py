@@ -192,3 +192,31 @@ def test_convlstm_cell_matches_torch_math(rng):
         np.asarray(hide), np.moveaxis(hide_t.numpy(), 1, -1), rtol=1e-4, atol=1e-5
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(hide))
+
+
+def test_stream_video_matches_full_rollout(lstm_model, rng):
+    """eval.video.stream_video (chunked, carried state) == one full scan,
+    including non-multiple-of-chunk lengths (padding path)."""
+    import dataclasses
+
+    from unipose_tpu.core.config import DATASETS
+    from unipose_tpu.eval.video import stream_video
+    from unipose_tpu.train.steps import make_centermaps, preprocess_images
+
+    m, v = lstm_model
+    spec = dataclasses.replace(DATASETS["Penn_Action"], input_size=SIZE)
+    t_total = 5  # not a multiple of chunk=2 -> exercises padding
+    frames = rng.rand(1, t_total, SIZE, SIZE, 3).astype(np.float32) * 255
+    centers = (rng.rand(1, t_total, 2) * SIZE).astype(np.float32)
+
+    full = m.apply(
+        v,
+        preprocess_images(jnp.asarray(frames)),
+        make_centermaps(jnp.asarray(centers), spec),
+        train=False,
+    )
+    streamed = stream_video(
+        m, v["params"], v["batch_stats"], frames, centers, spec, chunk=2
+    )
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(streamed, np.asarray(full), rtol=1e-4, atol=1e-5)

@@ -3,6 +3,7 @@ equal the unsharded global-batch statistics (what the reference's ignored
 sync_bn=True flag was supposed to mean — SURVEY §2.2)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -91,3 +92,74 @@ def test_axis_name_pmean_under_shard_map(rng, eight_devices):
         rtol=1e-4,
         atol=1e-6,
     )
+
+
+def test_dp_step_matches_single_device(rng, eight_devices):
+    """One GSPMD data-parallel train step over 8 devices produces the same
+    updated params as the identical step on one device (grad all-reduce +
+    global BN statistics are exact, not approximate)."""
+    import dataclasses
+
+    from unipose_tpu.core.config import DATASETS, TrainConfig
+    from unipose_tpu.models.layers import Conv, TorchBatchNorm
+    from unipose_tpu.train.optim import make_optimizer
+    from unipose_tpu.train.state import TrainState
+    from unipose_tpu.train.steps import make_train_step
+    from unipose_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from flax import linen as nn
+    import jax.numpy as jnp
+
+    SIZE = 32
+
+    class TinyPose(nn.Module):
+        """Minimal conv+BN net with the (B,H,W,3)->(B,H/8,W/8,K+1) contract."""
+
+        @nn.compact
+        def __call__(self, x, *, train=False):
+            x = Conv(8, 3, stride=2, padding=1, name="c1")(x)
+            x = TorchBatchNorm(name="b1")(x, use_running_average=not train)
+            x = nn.relu(x)
+            x = Conv(8, 3, stride=2, padding=1, name="c2")(x)
+            x = nn.relu(x)
+            return Conv(15, 3, stride=2, padding=1, use_bias=True, name="c3")(x)
+
+    spec = dataclasses.replace(DATASETS["LSP"], input_size=SIZE)
+    model = TinyPose()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)))
+    tx = make_optimizer(TrainConfig(lr=1e-3))
+
+    def fresh():
+        return TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+            rng=jax.random.PRNGKey(1),
+        )
+
+    batch_np = {
+        "image": rng.rand(8, SIZE, SIZE, 3).astype(np.float32) * 255,
+        "kpts": np.concatenate(
+            [rng.rand(8, 14, 2) * SIZE, np.ones((8, 14, 1))], -1
+        ).astype(np.float32),
+    }
+    step = make_train_step(model, tx, spec, donate=False)
+
+    s_single, m_single = step(
+        fresh(), {k: jnp.asarray(v) for k, v in batch_np.items()}
+    )
+
+    mesh = make_mesh((8,), ("data",))
+    s_dp, m_dp = step(replicate(fresh(), mesh), shard_batch(dict(batch_np), mesh))
+
+    assert float(m_single["loss"]) == pytest.approx(float(m_dp["loss"]), rel=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_single.params),
+        jax.tree_util.tree_leaves(s_dp.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_single.batch_stats),
+        jax.tree_util.tree_leaves(s_dp.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
