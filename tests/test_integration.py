@@ -77,3 +77,42 @@ def test_trainer_end_to_end(tmp_path):
     assert os.path.isdir(tmp_path / "ckpt")
     trainer2 = Trainer(mc, tc, spec=spec, loaders=loaders, log_every=1)
     assert int(trainer2.state.step) == 2
+
+
+@pytest.mark.slow
+def test_trainer_logger_and_summary(tmp_path, capsys):
+    """TSV logging + param summary through the Trainer surface (reuses the
+    synthetic fixtures; model compiles are cached by jit within the run)."""
+    from unipose_tpu.train.trainer import Trainer
+    from unipose_tpu.utils.logger import Logger
+
+    train_root = make_lsp_root(tmp_path, "lspet2", "lspet", 2)
+    val_root = make_lsp_root(tmp_path, "lsp2", "lsp", 1)
+    spec = dataclasses.replace(DATASETS["LSP"], input_size=SIZE)
+    loaders = (
+        PrefetchLoader(
+            LSPDataset("lspet", train_root, 3.0, 8, None, input_size=SIZE),
+            2, shuffle=False, num_workers=1,
+        ),
+        PrefetchLoader(
+            LSPDataset("lsp", val_root, 3.0, 8, None, input_size=SIZE),
+            1, shuffle=False, num_workers=1, drop_last=False,
+        ),
+    )
+    log_path = str(tmp_path / "train_log.tsv")
+    trainer = Trainer(
+        ModelConfig(dataset="LSP", num_classes=14),
+        TrainConfig(batch_size=2, lr=1e-3),
+        spec=spec,
+        loaders=loaders,
+        log_file=log_path,
+        print_summary=True,
+    )
+    out = capsys.readouterr().out
+    assert "Total Parameters:" in out
+    trainer.training(0)
+    trainer.validation(0)
+    resumed = Logger(log_path, resume=True)
+    assert resumed.names == ["epoch", "train_loss", "mAP", "mPCK", "mPCKh"]
+    assert len(resumed.numbers["mAP"]) == 1
+    resumed.close()

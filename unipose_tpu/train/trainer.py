@@ -39,6 +39,8 @@ class Trainer:
         log_every: int = 50,
         spec=None,
         loaders=None,
+        log_file: Optional[str] = None,
+        print_summary: bool = False,
     ):
         """``spec``/``loaders`` overrides exist for tests and custom
         pipelines; by default both derive from ``model_config.dataset``."""
@@ -104,6 +106,24 @@ class Trainer:
         self.best_pckh = 0.0
         self.model_name = train_config.model_name
 
+        # TSV metric log (counterpart of extra_utils/logger.py, §5.5)
+        self.logger = None
+        if log_file:
+            from unipose_tpu.utils.logger import Logger
+
+            self.logger = Logger(log_file, title=self.model_name)
+            self.logger.set_names(["epoch", "train_loss", "mAP", "mPCK", "mPCKh"])
+        self._epoch_stats = {}
+
+        if print_summary:
+            # param/FLOP audit (counterpart of get_model_summary,
+            # utils/utils.py:713-829, called at unipose.py:96-98)
+            from unipose_tpu.utils.summary import count_params, per_module_params
+
+            print(f"Total Parameters: {count_params(self.state.params):,}")
+            for name, n in sorted(per_module_params(self.state.params).items()):
+                print(f"  {name:<12} {n:>14,}")
+
     # ------------------------------------------------------------------
     def _device_batch(self, batch):
         keep = ("image", "frames", "kpts", "centers")
@@ -130,7 +150,9 @@ class Trainer:
                 )
         if self.ckpt_manager is not None:
             self.ckpt_manager.save(int(self.state.step), self.state)
-        return train_loss / max(n, 1)
+        avg = train_loss / max(n, 1)
+        self._epoch_stats[epoch] = avg
+        return avg
 
     # ------------------------------------------------------------------
     def validation(self, epoch: int) -> float:
@@ -190,4 +212,8 @@ class Trainer:
             "Best AP = %.2f%%; PCK = %2.2f%%; PCKh = %2.2f%%"
             % (self.is_best * 100, self.best_pck * 100, self.best_pckh * 100)
         )
+        if self.logger is not None:
+            self.logger.append(
+                [epoch, self._epoch_stats.get(epoch, float("nan")), mAP, mPCK, mPCKh]
+            )
         return mAP
