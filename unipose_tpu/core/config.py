@@ -134,6 +134,10 @@ class ModelConfig:
     wasp_double_conv2: bool = True
     # Video variant only: number of ConvLSTM rollout frames.
     frame_memory: int = 5
+    # Rematerialize the scan body under autodiff: trades recompute for BPTT
+    # memory on LONG rollouts (BBC).  Costs ~7x compile time, so off by
+    # default for short clips (measured: 86 s vs >10 min compile at T=5).
+    remat_scan: bool = False
 
     @property
     def spec(self) -> DatasetSpec:
@@ -211,7 +215,8 @@ PRESETS = {
         name="bbc_lstm",
         description="BBC Pose video eval (7 joints, long sequences through the LSTM scan)",
         model=ModelConfig(
-            dataset="BBC", num_classes=7, variant="lstm", frame_memory=5
+            dataset="BBC", num_classes=7, variant="lstm", frame_memory=5,
+            remat_scan=True,  # long-sequence eval/training path
         ),
         train=TrainConfig(batch_size=1, sigma=1.0, model_name="uniposeLSTM_bbc"),
     ),

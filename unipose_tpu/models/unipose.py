@@ -80,6 +80,7 @@ def build_model(config: ModelConfig) -> nn.Module:
             output_stride=config.output_stride,
             stride=config.stride,
             wasp_double_conv2=config.wasp_double_conv2,
+            remat_scan=config.remat_scan,
             dtype=None if config.compute_dtype == jnp.float32 else config.compute_dtype,
         )
     raise ValueError(f"unknown variant {config.variant!r}")

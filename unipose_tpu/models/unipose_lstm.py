@@ -120,7 +120,10 @@ class UniPoseLSTM(nn.Module):
     output_stride: int = 16
     stride: int = 8
     wasp_double_conv2: bool = True
-    remat_scan: bool = True  # jax.checkpoint the scan body (long BBC rollouts)
+    # jax.checkpoint the scan body: needed for long-BBC-rollout BPTT memory,
+    # but costs ~7x train-step compile time — opt in via config
+    # (ModelConfig.remat_scan).
+    remat_scan: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
