@@ -9,7 +9,7 @@ constant memory and static shapes.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Tuple
+
 
 import jax
 import jax.numpy as jnp
