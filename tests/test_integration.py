@@ -116,3 +116,28 @@ def test_trainer_logger_and_summary(tmp_path, capsys):
     assert resumed.names == ["epoch", "train_loss", "mAP", "mPCK", "mPCKh"]
     assert len(resumed.numbers["mAP"]) == 1
     resumed.close()
+
+
+@pytest.mark.slow
+def test_trainer_test_demo(tmp_path):
+    """Trainer.test (demo inference, Reference unipose.py:197-246) renders a
+    skeleton and per-channel overlays on the tiny model."""
+    import cv2
+
+    from unipose_tpu.train.trainer import Trainer
+
+    spec = dataclasses.replace(DATASETS["LSP"], input_size=SIZE)
+    trainer = Trainer(
+        ModelConfig(dataset="LSP", num_classes=14),
+        TrainConfig(batch_size=1),
+        spec=spec,
+        loaders=(None, None),
+    )
+    img_path = str(tmp_path / "person.jpg")
+    cv2.imwrite(
+        img_path, np.random.RandomState(0).randint(0, 255, (90, 70, 3), np.uint8)
+    )
+    kpts = trainer.test(img_path, out_dir=str(tmp_path / "samples"))
+    assert len(kpts) == 14
+    assert os.path.exists(tmp_path / "samples" / "pose.png")
+    assert os.path.exists(tmp_path / "samples" / "heat" / "unipose0.png")

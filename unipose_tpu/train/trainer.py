@@ -15,6 +15,7 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from unipose_tpu.core.config import DATASETS, ModelConfig, TrainConfig
@@ -217,3 +218,46 @@ class Trainer:
                 [epoch, self._epoch_stats.get(epoch, float("nan")), mAP, mPCK, mPCKh]
             )
         return mAP
+
+    # ------------------------------------------------------------------
+    def test(self, image_path: str, out_dir: str = "samples"):
+        """Demo inference on one image: skeleton render + per-channel JET
+        heatmap overlays (Reference: unipose.py:197-246 ``Trainer.test``).
+        Returns the predicted keypoints."""
+        import cv2
+
+        from unipose_tpu.ops.resize import bilinear_resize
+        from unipose_tpu.train.steps import preprocess_images
+        from unipose_tpu.viz.draw import draw_paint, get_kpts, heatmap_overlays
+
+        size = self.spec.input_size
+        img = np.asarray(
+            cv2.resize(cv2.imread(image_path), (size, size)), np.float32
+        )
+        x = preprocess_images(img[None])
+        variables = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+        if self.video:
+            heat = self.model.apply(
+                variables,
+                x[:, None],
+                jnp.zeros((1, 1, size, size, 1)),
+                train=False,
+            )[:, 0]
+        else:
+            heat = self.model.apply(variables, x, train=False)
+        heat = np.asarray(bilinear_resize(heat, (size, size)))  # 46 -> input res
+        kpts = get_kpts(heat, img_h=float(size), img_w=float(size))
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        draw_paint(
+            image_path,
+            kpts,
+            self.model_config.dataset,
+            out_path=os.path.join(out_dir, "pose.png"),
+        )
+        heatmap_overlays(heat, image_path, out_dir=os.path.join(out_dir, "heat"))
+        return kpts
