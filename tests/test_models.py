@@ -220,3 +220,22 @@ def test_stream_video_matches_full_rollout(lstm_model, rng):
     )
     assert streamed.shape == full.shape
     np.testing.assert_allclose(streamed, np.asarray(full), rtol=1e-4, atol=1e-5)
+
+
+def test_bbox_head_variant(rng):
+    """bbox-head variant: (K+1 keypoint maps, 5 box maps) split, feeding the
+    multi-person postproc (model/unipose.py:34-35, decoder.py:31)."""
+    m = UniPose(num_classes=14, bbox_head=True)
+    x = jnp.asarray(rng.randn(1, SIZE, SIZE, 3).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    kpt_maps, box_maps = m.apply(v, x, train=False)
+    assert kpt_maps.shape == (1, SIZE // 8, SIZE // 8, 15)
+    assert box_maps.shape == (1, SIZE // 8, SIZE // 8, 5)
+
+    # postproc consumes the concatenated layout (NCHW, box channels at K+1)
+    from unipose_tpu.compat.torch_convert import to_nchw
+    from unipose_tpu.postproc.multi_person import multi_person_kpts
+
+    maps = to_nchw(np.concatenate([np.asarray(kpt_maps), np.asarray(box_maps)], -1))
+    kpts = multi_person_kpts(maps, "LSP", num_joints=14)
+    assert isinstance(kpts, list)

@@ -48,6 +48,10 @@ class _LastConv(nn.Module):
 
 class Decoder(nn.Module):
     num_classes: int
+    # +5 bounding-box channels (center + 4 corners): the reference's
+    # commented-out variant (decoder.py:31 ``num_classes+5+1``), consumed by
+    # unipose_tpu.postproc.multi_person.
+    bbox_head: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -61,6 +65,5 @@ class Decoder(nn.Module):
 
         x = bilinear_resize(x, llf.shape[1:3])
         x = jnp.concatenate([x, llf], axis=-1)
-        return _LastConv(self.num_classes + 1, dtype=self.dtype, name="last_conv")(
-            x, train=train
-        )
+        out_ch = self.num_classes + 1 + (5 if self.bbox_head else 0)
+        return _LastConv(out_ch, dtype=self.dtype, name="last_conv")(x, train=train)

@@ -37,10 +37,13 @@ class UniPose(nn.Module):
     output_stride: int = 16
     stride: int = 8
     wasp_double_conv2: bool = True
+    # bbox-head variant (model/unipose.py:34-35, commented upstream): emit 5
+    # extra box channels and return (keypoint_maps, box_maps).
+    bbox_head: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, train: bool = False):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         feats, low_level = ResNet101(
@@ -52,13 +55,18 @@ class UniPose(nn.Module):
             dtype=self.dtype,
             name="wasp",
         )(feats, train=train)
-        y = Decoder(self.num_classes, dtype=self.dtype, name="decoder")(
-            y, low_level, train=train
-        )
+        y = Decoder(
+            self.num_classes, bbox_head=self.bbox_head, dtype=self.dtype,
+            name="decoder",
+        )(y, low_level, train=train)
         if self.stride != 8:
             y = bilinear_resize(y, x.shape[1:3])
         # Heatmaps & loss stay in f32 regardless of the compute dtype.
-        return y.astype(jnp.float32)
+        y = y.astype(jnp.float32)
+        if self.bbox_head:
+            k = self.num_classes + 1
+            return y[..., :k], y[..., k:]
+        return y
 
 
 def build_model(config: ModelConfig) -> nn.Module:
