@@ -143,6 +143,10 @@ def main():
         "value": round(best_fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(best_fps / A100_REFERENCE_FPS_ESTIMATE, 3),
+        "baseline_basis": (
+            "ESTIMATE — reference repo publishes no numbers; "
+            "A100 ~300 f/s derived in BASELINE.md / docs/BENCHMARKS.md"
+        ),
         "vs_target": round(
             best_fps / (TARGET_MULTIPLE * A100_REFERENCE_FPS_ESTIMATE), 3
         ),

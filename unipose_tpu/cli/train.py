@@ -73,6 +73,13 @@ def main(argv=None):
     import dataclasses
 
     args = build_argparser().parse_args(argv)
+
+    # Multi-host bring-up must precede any backend touch (mesh.py docstring);
+    # no-op unless a launcher set a coordinator address.
+    from unipose_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
+
     if args.config:
         from unipose_tpu.core.config import load_yaml_config
 

@@ -18,12 +18,59 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# Launcher-set variables that signal a multi-host run.  Presence is decided
+# from env ONLY: touching jax.process_count() (or any other backend query)
+# first would initialize the local backend and defeat
+# jax.distributed.initialize(), which must run before any backend use.
+_COORDINATOR_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+# Cluster launchers jax.distributed auto-detects (jax._src.clusters); a
+# world size > 1 in any of these also signals multi-host.
+_WORLD_SIZE_ENV_VARS = ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE")
+
+_distributed_initialized = False
+
+
+def _multi_host_launch() -> bool:
+    if any(os.environ.get(v) for v in _COORDINATOR_ENV_VARS):
+        return True
+    for v in _WORLD_SIZE_ENV_VARS:
+        try:
+            if int(os.environ.get(v, "1")) > 1:
+                return True
+        except ValueError:
+            pass
+    # multi-host Cloud TPU pod: libtpu env lists all worker hostnames
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len(hostnames.split(",")) > 1
+
+
 def maybe_init_distributed() -> None:
     """Initialize jax.distributed when launched across hosts (no-op on a
     single process).  DCN coordinates multi-slice; ICI carries the
-    collectives inside a slice."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        jax.distributed.initialize()
+    collectives inside a slice.  Safe to call more than once.
+
+    jax's cluster auto-detect covers SLURM/OpenMPI/k8s/Cloud-TPU; for bare
+    env launches (coordinator address only) the process count and id are
+    read from JAX_NUM_PROCESSES / JAX_PROCESS_ID since this jax version's
+    ``initialize()`` does not.
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return
+    if not _multi_host_launch():
+        return
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        num_processes=int(num) if num else None,
+        process_id=int(pid) if pid else None,
+    )
+    _distributed_initialized = True
+    assert jax.process_count() >= 1
 
 
 def make_mesh(
