@@ -56,6 +56,32 @@ class _Resize64(PennActionDataset):
 
 
 @pytest.mark.slow
+def test_trainer_test_demo_video(tmp_path):
+    """Trainer.test on the LSTM variant: 1-frame rollout with zero LSTM state
+    (Reference: uniposeLSTM.py:219-270) renders a skeleton + overlays."""
+    from unipose_tpu.train.trainer import Trainer
+
+    spec = dataclasses.replace(DATASETS["Penn_Action"], input_size=SIZE)
+    trainer = Trainer(
+        ModelConfig(
+            dataset="Penn_Action", num_classes=13, variant="lstm", frame_memory=1
+        ),
+        TrainConfig(batch_size=1),
+        spec=spec,
+        loaders=(None, None),
+    )
+    img_path = str(tmp_path / "person.jpg")
+    cv2.imwrite(
+        img_path, np.random.RandomState(0).randint(0, 255, (90, 70, 3), np.uint8)
+    )
+    out_dir = tmp_path / "samples"
+    kpts = trainer.test(img_path, out_dir=str(out_dir))
+    assert len(kpts) == 13
+    assert (out_dir / "pose.png").exists()
+    assert len(list((out_dir / "heat").glob("*.png"))) > 0
+
+
+@pytest.mark.slow
 def test_video_trainer_end_to_end(tmp_path):
     from unipose_tpu.train.trainer import Trainer
 
