@@ -215,3 +215,120 @@ def test_get_dataloader_lsp(lspet_root, lsp_root):
     vb = next(iter(val))
     assert vb["image"].shape == (1, 368, 368, 3)
     assert test is None
+
+
+@pytest.fixture
+def posetrack_root(tmp_path):
+    """Public PoseTrack18 layout: per-sequence COCO-style json + frames."""
+    from unipose_tpu.data.posetrack import PoseTrackDataset  # noqa: F401
+
+    root = tmp_path / "posetrack"
+    rng = np.random.RandomState(3)
+    for split, n_imgs in (("train", 3), ("val", 2)):
+        images, annotations = [], []
+        for i in range(n_imgs):
+            fn = f"images/{split}/seq0/{i:06d}.jpg"
+            write_jpg(str(root / fn), h=240, w=320, seed=40 + i)
+            images.append(
+                {"id": 100 + i, "file_name": fn, "is_labeled": i != 1}
+            )
+            kpts = np.zeros((17, 3))
+            kpts[:, 0] = rng.uniform(60, 260, 17)
+            kpts[:, 1] = rng.uniform(40, 200, 17)
+            kpts[:, 2] = 1
+            annotations.append(
+                {
+                    "image_id": 100 + i,
+                    "keypoints": kpts.flatten().tolist(),
+                    "bbox": [50, 30, 220, 180],
+                    "track_id": 0,
+                }
+            )
+        os.makedirs(root / "annotations" / split, exist_ok=True)
+        with open(root / "annotations" / split / "seq0.json", "w") as f:
+            json.dump({"images": images, "annotations": annotations}, f)
+    return str(root)
+
+
+def test_posetrack_dataset(posetrack_root):
+    from unipose_tpu.data.posetrack import PoseTrackDataset
+
+    ds = PoseTrackDataset(True, posetrack_root, 3.0, 8)
+    # frame 1 is unlabeled -> skipped
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["image"].shape == (368, 368, 3)
+    assert s["kpts"].shape == (17, 3)
+    # keypoints land inside the crop
+    assert (s["kpts"][:, 0] >= 0).all() and (s["kpts"][:, 0] <= 368).all()
+    assert (s["kpts"][:, 1] >= 0).all() and (s["kpts"][:, 1] <= 368).all()
+
+    val = PoseTrackDataset(False, posetrack_root, 3.0, 8)
+    assert len(val) == 1
+
+
+def test_get_dataloader_posetrack(posetrack_root):
+    train, val, test = get_dataloader(
+        "PoseTrack", posetrack_root, posetrack_root, 3.0, 8,
+        workers=1, batch_size=2,
+    )
+    tb = next(iter(train))
+    assert tb["image"].shape == (2, 368, 368, 3)
+    assert tb["kpts"].shape == (2, 17, 3)
+    vb = next(iter(val))
+    assert vb["image"].shape == (1, 368, 368, 3)
+    assert test is None
+
+
+@pytest.fixture
+def ntid_root(tmp_path):
+    root = tmp_path / "ntid"
+    rng = np.random.RandomState(4)
+    anno = []
+    for i, split in enumerate(["Train", "Train", "Val", "Test"]):
+        fn = f"frames/{i:04d}.jpg"
+        write_jpg(str(root / fn), h=120, w=160, seed=60 + i)
+        joints = np.zeros((19, 3))
+        joints[:, 0] = rng.uniform(10, 150, 19)
+        joints[:, 1] = rng.uniform(10, 110, 19)
+        joints[:, 2] = 1
+        anno.append(
+            {
+                "img_path": fn,
+                "joints": joints.tolist(),
+                "center": [80.0, 60.0],
+                "split": split,
+            }
+        )
+    os.makedirs(root, exist_ok=True)
+    with open(root / "ntid_annotations.json", "w") as f:
+        json.dump(anno, f)
+    return str(root)
+
+
+def test_ntid_dataset(ntid_root):
+    from unipose_tpu.data.ntid import NTIDDataset
+
+    ds = NTIDDataset(ntid_root, 3.0, "Train", T.Compose([T.TestResized(368)]))
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["image"].shape == (368, 368, 3)
+    assert s["kpts"].shape == (19, 3)
+    # center rescaled with the image (160x120 -> 368x368)
+    np.testing.assert_allclose(
+        s["center"], [80.0 * 368 / 160, 60.0 * 368 / 120], atol=1e-4
+    )
+    assert len(NTIDDataset(ntid_root, 3.0, "Val")) == 1
+    assert len(NTIDDataset(ntid_root, 3.0, "Test")) == 1
+
+
+def test_get_dataloader_ntid(ntid_root):
+    train, val, test = get_dataloader(
+        "NTID", ntid_root, ntid_root, 3.0, 8,
+        workers=1, batch_size=2, test_dir=ntid_root,
+    )
+    tb = next(iter(train))
+    assert tb["image"].shape == (2, 368, 368, 3)
+    assert tb["kpts"].shape == (2, 19, 3)
+    assert next(iter(val))["image"].shape == (1, 368, 368, 3)
+    assert next(iter(test))["image"].shape == (1, 368, 368, 3)

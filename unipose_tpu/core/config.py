@@ -103,7 +103,36 @@ BBC = DatasetSpec(
     ),
 )
 
-DATASETS = {d.name: d for d in (LSP, MPII, PENN_ACTION, BBC)}
+NTID = DatasetSpec(
+    name="NTID",
+    num_joints=19,
+    sigma=3.0,
+    # The reference's NTID flip reuses the LSP swap pairs
+    # (Mytransforms.py:616-639 via RandomHorizontalFlip_NTID).
+    swap_pairs=((0, 5), (1, 4), (2, 3), (6, 11), (7, 10), (8, 9)),
+    joint_names=(
+        "Spine Base", "Spine Mid", "Neck", "Head",
+        "Shoulder Left", "Elbow Left", "Wrist Left", "Hand Tip Left",
+        "Shoulder Right", "Elbow Right", "Wrist Right", "Hand Tip Right",
+        "Hip Left", "Hip Right", "Spine Shoulder",
+        "Hand Left", "Thumb Left", "Hand Right", "Thumb Right",
+    ),  # per-joint printer (Reference: utils/utils.py:429-459)
+)
+
+POSETRACK = DatasetSpec(
+    name="PoseTrack",
+    num_joints=17,
+    sigma=3.0,
+    swap_pairs=((3, 4), (5, 6), (7, 8), (9, 10), (11, 12), (13, 14), (15, 16)),
+    joint_names=(
+        "Nose", "Head Bottom", "Head Top", "Left Ear", "Right Ear",
+        "Left Shoulder", "Right Shoulder", "Left Elbow", "Right Elbow",
+        "Left Wrist", "Right Wrist", "Left Hip", "Right Hip",
+        "Left Knee", "Right Knee", "Left Ankle", "Right Ankle",
+    ),  # public PoseTrack18 order; matches evaluate.py's norm indices
+)
+
+DATASETS = {d.name: d for d in (LSP, MPII, PENN_ACTION, BBC, NTID, POSETRACK)}
 
 
 # ---------------------------------------------------------------------------

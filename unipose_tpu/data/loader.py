@@ -120,7 +120,9 @@ def get_dataloader(
     from unipose_tpu.data.bbc import BBCDataset
     from unipose_tpu.data.lsp import LSPDataset
     from unipose_tpu.data.mpii import MPIIDataset
+    from unipose_tpu.data.ntid import NTIDDataset
     from unipose_tpu.data.penn_action import PennActionDataset
+    from unipose_tpu.data.posetrack import PoseTrackDataset
 
     train_loader = val_loader = test_loader = None
 
@@ -169,6 +171,44 @@ def get_dataloader(
             val_loader = PrefetchLoader(
                 PennActionDataset(
                     val_dir, sigma, T_mem, False, T.Compose([T.TestResized(368)])
+                ),
+                1, shuffle=False, num_workers=workers, drop_last=False,
+            )
+    elif dataset == "NTID":
+        # Reference branch utils/utils.py:299-316 (its ntid_data module is
+        # absent upstream — loader format documented in data/ntid.py).
+        if train_dir:
+            train_loader = PrefetchLoader(
+                NTIDDataset(
+                    train_dir, sigma, "Train",
+                    T.Compose([T.TestResized(368), T.RandomHorizontalFlip_NTID()]),
+                ),
+                batch_size, shuffle=True, num_workers=workers, seed=seed,
+            )
+        if val_dir:
+            val_loader = PrefetchLoader(
+                NTIDDataset(val_dir, sigma, "Val", T.Compose([T.TestResized(368)])),
+                1, shuffle=False, num_workers=workers, drop_last=False,
+            )
+        if test_dir:
+            test_loader = PrefetchLoader(
+                NTIDDataset(test_dir, sigma, "Test"),
+                1, shuffle=False, num_workers=workers, drop_last=False,
+            )
+    elif dataset == "PoseTrack":
+        # Reference branch utils/utils.py:318-329 (its posetrack_data module
+        # is absent upstream — built against the public PoseTrack18 layout).
+        if train_dir:
+            train_loader = PrefetchLoader(
+                PoseTrackDataset(
+                    True, train_dir, sigma, stride, T.Compose([T.TestResized(368)])
+                ),
+                batch_size, shuffle=True, num_workers=workers, seed=seed,
+            )
+        if val_dir:
+            val_loader = PrefetchLoader(
+                PoseTrackDataset(
+                    False, val_dir, sigma, stride, T.Compose([T.TestResized(368)])
                 ),
                 1, shuffle=False, num_workers=workers, drop_last=False,
             )
