@@ -132,6 +132,61 @@ def bench_video(batch=4, t_frames=5, iters=10, warmup=2):
     return batch * t_frames / dt
 
 
+def bench_train(batch=32, iters=10):
+    """Image train-step throughput (fwd+bwd+Adam, on-device targets),
+    chained-in-jit like the inference metric."""
+    from unipose_tpu.core.config import ModelConfig, TrainConfig, DATASETS
+    from unipose_tpu.models.unipose import build_model
+    from unipose_tpu.train.optim import make_optimizer
+    from unipose_tpu.train.state import TrainState
+    from unipose_tpu.train.steps import make_train_step
+
+    spec = DATASETS["LSP"]
+    config = ModelConfig(dataset="LSP", num_classes=14, compute_dtype=jnp.bfloat16)
+    model = build_model(config)
+    x0 = jnp.zeros((1, 368, 368, 3), jnp.float32)
+    variables = zeros_variables(model, x0)
+    tx = make_optimizer(TrainConfig(batch_size=batch))
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(1),
+    )
+    rng = np.random.RandomState(0)
+    batch_data = {
+        "image": jax.device_put(
+            rng.rand(batch, 368, 368, 3).astype(np.float32) * 255
+        ),
+        "kpts": jax.device_put(
+            np.concatenate(
+                [rng.rand(batch, 14, 2) * 368, np.ones((batch, 14, 1))], axis=-1
+            ).astype(np.float32)
+        ),
+    }
+    step = make_train_step(model, tx, spec, donate=False)
+
+    @jax.jit
+    def loop(state):
+        def body(i, carry):
+            st, tick = carry
+            b = dict(batch_data, image=batch_data["image"] + tick * 0.0)
+            st, metrics = step.__wrapped__(st, b)
+            return st, metrics["loss"].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
+
+    out = loop(state)
+    jax.block_until_ready(out)
+    float(out[1])
+    t0 = time.perf_counter()
+    out = loop(state)
+    float(out[1])
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
+
+
 def main():
     full = "--full" in sys.argv
     dev = jax.devices()[0]

@@ -28,6 +28,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running integration tests (minutes on CPU mesh)"
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)

@@ -50,6 +50,22 @@ def mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.square(pred - target.astype(pred.dtype)))
 
 
+def _dropout_key(rng: jnp.ndarray):
+    """Typed ``rbg`` key for dropout mask generation.
+
+    The decoder's dropout masks are large ((B, 92, 92, 256)-scale) and
+    threefry bit generation for them costs ~5.3 ms of a 73 ms train step on
+    v5e (scripts/profile_train_variants2.py).  XLA's hardware
+    RngBitGenerator (``rbg``) is far cheaper on TPU.  The random stream
+    differs from threefry — dropout streams are arbitrary; determinism per
+    (seed, step) is preserved, and fold_in/split on rbg keys still use
+    threefry so per-layer decorrelation is unchanged.
+    """
+    if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        return rng  # already typed; respect the caller's impl
+    return jax.random.wrap_key_data(jnp.concatenate([rng, rng]), impl="rbg")
+
+
 def make_train_step(
     model,
     tx,
@@ -73,6 +89,7 @@ def make_train_step(
 
     def step(state: TrainState, batch):
         rng, dropout_rng = jax.random.split(state.rng)
+        dropout_rng = _dropout_key(dropout_rng)
 
         if video:
             x = preprocess_images(batch["frames"])
