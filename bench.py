@@ -215,6 +215,10 @@ def main():
             record["video_fps_5frame"] = round(bench_video(), 2)
         except Exception as e:
             record["video_fps_5frame"] = f"error: {e}"
+        try:
+            record["train_fps_batch32"] = round(bench_train(), 2)
+        except Exception as e:
+            record["train_fps_batch32"] = f"error: {e}"
     print(json.dumps(record))
 
 
