@@ -63,7 +63,10 @@ def test_trainer_end_to_end(tmp_path):
     )
 
     mc = ModelConfig(dataset="LSP", num_classes=14)
-    tc = TrainConfig(batch_size=2, lr=1e-3, checkpoint_dir=str(tmp_path / "ckpt"))
+    tc = TrainConfig(
+        batch_size=2, lr=1e-3, checkpoint_dir=str(tmp_path / "ckpt"),
+        model_name=str(tmp_path / "unipose"),  # keep best-ckpt out of cwd
+    )
     trainer = Trainer(mc, tc, spec=spec, loaders=loaders, log_every=1)
 
     loss = trainer.training(0)
@@ -102,7 +105,7 @@ def test_trainer_logger_and_summary(tmp_path, capsys):
     log_path = str(tmp_path / "train_log.tsv")
     trainer = Trainer(
         ModelConfig(dataset="LSP", num_classes=14),
-        TrainConfig(batch_size=2, lr=1e-3),
+        TrainConfig(batch_size=2, lr=1e-3, model_name=str(tmp_path / "unipose")),
         spec=spec,
         loaders=loaders,
         log_file=log_path,

@@ -99,7 +99,10 @@ def test_video_trainer_end_to_end(tmp_path):
     mc = ModelConfig(
         dataset="Penn_Action", num_classes=13, variant="lstm", frame_memory=T
     )
-    tc = TrainConfig(batch_size=1, lr=1e-3, sigma=1.0)
+    tc = TrainConfig(
+        batch_size=1, lr=1e-3, sigma=1.0,
+        model_name=str(tmp_path / "uniposeLSTM"),  # keep best-ckpt out of cwd
+    )
     trainer = Trainer(mc, tc, spec=spec, loaders=loaders, log_every=1)
 
     loss = trainer.training(0)
