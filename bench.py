@@ -172,7 +172,7 @@ def bench_train(batch=32, iters=10):
         def body(i, carry):
             st, tick = carry
             b = dict(batch_data, image=batch_data["image"] + tick * 0.0)
-            st, metrics = step.__wrapped__(st, b)
+            st, metrics = step(st, b)  # nested jit inlines
             return st, metrics["loss"].astype(jnp.float32)
 
         return jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0)))

@@ -193,3 +193,59 @@ def test_load_torch_checkpoint_file(tmp_path, rng):
         loaded["backbone.conv1.weight"],
         state["module.backbone.conv1.weight"].numpy(),
     )
+
+
+def _tree_equal(a, b, path=""):
+    if isinstance(a, dict):
+        assert set(a) == set(b), (path, set(a) ^ set(b))
+        for k in a:
+            _tree_equal(a[k], b[k], f"{path}.{k}")
+    else:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=path)
+
+
+def test_export_state_dict_roundtrip_image():
+    from unipose_tpu.compat.torch_export import export_state_dict
+    from unipose_tpu.core.config import ModelConfig
+    from unipose_tpu.models.unipose import init_model
+
+    model, variables = init_model(
+        ModelConfig(dataset="LSP", num_classes=14),
+        jax.random.PRNGKey(7),
+        input_size=64,
+    )
+    sd = export_state_dict(variables, variant="image")
+    assert "backbone.conv1.weight" in sd
+    assert sd["backbone.conv1.weight"].shape[0] == 64  # OIHW
+    assert "backbone.bn1.num_batches_tracked" in sd
+
+    template = jax.tree_util.tree_map(np.zeros_like, jax.device_get(variables))
+    restored, report = convert_state_dict(sd, template, variant="image")
+    assert report["skipped"] == [], report["skipped"][:10]
+    _tree_equal(jax.device_get(variables), restored)
+
+
+def test_export_state_dict_roundtrip_lstm():
+    from unipose_tpu.compat.torch_export import export_state_dict
+    from unipose_tpu.core.config import ModelConfig
+    from unipose_tpu.models.unipose import init_model
+
+    model, variables = init_model(
+        ModelConfig(
+            dataset="Penn_Action", num_classes=13, variant="lstm", frame_memory=2
+        ),
+        jax.random.PRNGKey(8),
+        input_size=64,
+    )
+    sd = export_state_dict(variables, variant="lstm")
+    # fused gates split back to per-gate reference names, head re-rooted
+    for g in "giof":
+        assert f"lstm.conv_{g}x_lstm.weight" in sd
+        assert f"lstm.conv_{g}h_lstm.bias" in sd
+    assert "conv1.weight" in sd and "head.conv1.weight" not in sd
+    assert sd["conv1.weight"].shape[-2:] == (11, 11)  # OIHW 11x11 head
+
+    template = jax.tree_util.tree_map(np.zeros_like, jax.device_get(variables))
+    restored, report = convert_state_dict(sd, template, variant="lstm")
+    assert report["skipped"] == [], report["skipped"][:10]
+    _tree_equal(jax.device_get(variables), restored)

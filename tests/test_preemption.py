@@ -1,7 +1,14 @@
-"""Preemption/failure recovery (§5.3): a training process is SIGKILLed after
-its first epoch checkpoint; a fresh process auto-resumes from the surviving
-orbax checkpoint (exercises atomic checkpoint commit + restore_latest under
-*abrupt* death, not graceful teardown — the preemptible-TPU story)."""
+"""Preemption/failure recovery (§5.3): a training process is SIGKILLed mid
+run; a fresh process auto-resumes from the surviving orbax checkpoint
+(exercises atomic checkpoint commit + restore_latest under *abrupt* death,
+not graceful teardown — the preemptible-TPU story).
+
+Checkpoint saves are async (the train loop never stalls on IO), so the
+durability contract is *at most one checkpoint interval lost*: a kill right
+after ``save(step=k)`` returns may lose step k's write, but any save that a
+LATER ``save`` call has been issued past is committed (orbax waits for the
+previous async write before starting the next).  The kill therefore lands
+after epoch 1's save call, and the resume must see at least epoch 0's step."""
 
 import os
 import signal
@@ -84,7 +91,8 @@ def test_kill_and_resume(tmp_path):
             cwd=REPO,
         )
 
-    # run 1: SIGKILL right after the first epoch checkpoint lands
+    # run 1: SIGKILL right after epoch 1's save call (epoch 0's async write
+    # is committed by then — see module docstring)
     p = launch()
     lines = []
     try:
@@ -94,9 +102,9 @@ def test_kill_and_resume(tmp_path):
             if not line:
                 break
             lines.append(line.strip())
-            if line.startswith("EPOCH_DONE 0"):
+            if line.startswith("EPOCH_DONE 1"):
                 break
-        assert any(l.startswith("EPOCH_DONE 0") for l in lines), lines
+        assert any(l.startswith("EPOCH_DONE 1") for l in lines), lines
         os.kill(p.pid, signal.SIGKILL)
     finally:
         p.wait(timeout=60)

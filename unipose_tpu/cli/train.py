@@ -39,6 +39,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "overrides the other model/train flags")
     p.add_argument("--checkpoint_dir", default=None, type=str,
                    help="periodic-checkpoint/auto-resume directory")
+    p.add_argument("--profile_dir", default=None, type=str,
+                   help="capture a jax.profiler device trace of epoch 0 "
+                        "(view in TensorBoard/Perfetto)")
     return p
 
 
@@ -101,11 +104,20 @@ def main(argv=None):
         val_dir=args.val_dir,
         pretrained=args.pretrained,
     )
-    for epoch in range(train_config.epochs):
-        if trainer.train_loader is not None:
-            trainer.training(epoch)
-        if trainer.val_loader is not None:
-            trainer.validation(epoch)
+    try:
+        for epoch in range(train_config.epochs):
+            if trainer.train_loader is not None:
+                if epoch == 0 and args.profile_dir:
+                    from unipose_tpu.utils.profiling import trace
+
+                    with trace(args.profile_dir):
+                        trainer.training(epoch)
+                else:
+                    trainer.training(epoch)
+            if trainer.val_loader is not None:
+                trainer.validation(epoch)
+    finally:
+        trainer.finalize()  # commit any in-flight async checkpoint
 
 
 if __name__ == "__main__":

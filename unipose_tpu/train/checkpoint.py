@@ -50,27 +50,38 @@ def save_checkpoint(
 
 class CheckpointManager:
     """Periodic checkpointing with retention + latest-restore — the
-    preemption/auto-resume story the reference lacks (SURVEY §5.3)."""
+    preemption/auto-resume story the reference lacks (SURVEY §5.3).
+
+    Saves are **async**: orbax snapshots arrays to host memory before
+    ``save`` returns (so donating the state to the next train step is safe)
+    and writes to disk in a background thread — the train loop never stalls
+    on checkpoint IO.  ``wait()``/``close()`` block until pending writes
+    commit (call before process exit; ``restore_latest`` also waits so a
+    just-saved step is always visible)."""
 
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = _as_path(directory)
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
+                max_to_keep=max_to_keep,
+                create=True,
+                enable_async_checkpointing=True,
             ),
         )
 
     def save(self, step: int, state: TrainState) -> None:
-        self._mgr.save(
-            step, args=ocp.args.StandardSave(jax.device_get(state))
-        )
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def wait(self) -> None:
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore_latest(self, template: TrainState) -> Optional[TrainState]:
+        self._mgr.wait_until_finished()
         step = self._mgr.latest_step()
         if step is None:
             return None

@@ -164,6 +164,13 @@ class Trainer:
         return avg
 
     # ------------------------------------------------------------------
+    def finalize(self) -> None:
+        """Block until in-flight async checkpoint writes commit (call before
+        process exit; saves are async so the train loop never stalls)."""
+        if self.ckpt_manager is not None:
+            self.ckpt_manager.wait()
+
+    # ------------------------------------------------------------------
     def validation(self, epoch: int) -> float:
         k = self.model_config.num_classes
         AP = np.zeros(k + 1)
