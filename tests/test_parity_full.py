@@ -176,3 +176,52 @@ def test_video_model_full_parity(ref_pkg):
     # headroom while still catching any real composition bug (those show up
     # at 1e-1+).
     _assert_match(np.moveaxis(out, -1, 2), ref_out, tol=5e-4)
+
+
+def test_export_loads_into_reference_and_matches(ref_pkg):
+    """Bidirectional compat: a state_dict exported from OUR variables loads
+    into the LIVE reference torch model (strict after excluding its dead
+    decoder.conv2/bn2) and the two networks then produce the same heatmaps.
+    Closes the torch->jax->torch loop end to end."""
+    import torch
+
+    import jax
+    from unipose_tpu.compat.torch_export import export_state_dict
+    from unipose_tpu.core.config import ModelConfig
+    from unipose_tpu.models.unipose import init_model
+
+    ref_unipose, _ = ref_pkg
+    torch.manual_seed(10)
+    ref = ref_unipose.unipose("LSP", num_classes=14, stride=8)
+    ref.eval()
+
+    config = ModelConfig(dataset="LSP", num_classes=14)
+    model, variables = init_model(config, jax.random.PRNGKey(11), input_size=96)
+    # randomize batch_stats so eval BN is a real transform both sides
+    variables = jax.device_get(variables)
+    r = np.random.RandomState(12)
+    def perturb(t):
+        if isinstance(t, dict):
+            return {k: perturb(v) for k, v in t.items()}
+        return t + 0.05 * r.randn(*np.shape(t)).astype(np.asarray(t).dtype)
+    variables = {"params": variables["params"],
+                 "batch_stats": perturb(variables["batch_stats"])}
+
+    sd = export_state_dict(variables, variant="image")
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    # only the reference's dead decoder.conv2/bn2 params may be missing
+    assert all(
+        k.startswith("decoder.conv2") or k.startswith("decoder.bn2")
+        for k in missing
+    ), missing
+    assert unexpected == [], unexpected
+
+    size = 96
+    x = np.random.RandomState(13).rand(2, 3, size, size).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+    ours = np.asarray(model.apply(variables, np.moveaxis(x, 1, -1), train=False))
+    _assert_match(np.moveaxis(ours, -1, 1), ref_out)
