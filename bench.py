@@ -76,6 +76,37 @@ def chained_timer(step_scalar_fn, iters: int):
     return dt / iters
 
 
+def chained_timer_stateful(step_fn, state, batch, iters: int, *, image_key="image"):
+    """``chained_timer`` for stateful (state, batch) -> (state, metrics) steps.
+
+    Iterations are chained inside one compiled program by threading the state
+    and the previous iteration's loss scalar through a ``fori_loop``; the
+    batch's image leaf is perturbed by ``loss * 0.0`` so XLA can neither hoist
+    nor parallelize iterations.  One scalar fetch is the only sync point.
+    NOT for donating steps (fori_loop can't express buffer donation across
+    its body) — time those per-call with a trailing scalar fetch instead
+    (scripts/profile_train_variants2.py::timed_donating).
+    """
+
+    @jax.jit
+    def loop(state, batch):
+        def body(i, carry):
+            st, tick = carry
+            b = dict(batch, **{image_key: batch[image_key] + tick * 0.0})
+            st, metrics = step_fn(st, b)  # a nested jit inlines
+            return st, metrics["loss"].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
+
+    out = loop(state, batch)
+    jax.block_until_ready(out)
+    float(out[1])  # drain any straggling transfer
+    t0 = time.perf_counter()
+    out = loop(state, batch)
+    float(out[1])
+    return (time.perf_counter() - t0) / iters
+
+
 def bench_forward(batch_sizes=(32,), iters=20):
     from unipose_tpu.core.config import ModelConfig
     from unipose_tpu.models.unipose import build_model
@@ -166,24 +197,7 @@ def bench_train(batch=32, iters=10):
         ),
     }
     step = make_train_step(model, tx, spec, donate=False)
-
-    @jax.jit
-    def loop(state):
-        def body(i, carry):
-            st, tick = carry
-            b = dict(batch_data, image=batch_data["image"] + tick * 0.0)
-            st, metrics = step(st, b)  # nested jit inlines
-            return st, metrics["loss"].astype(jnp.float32)
-
-        return jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
-
-    out = loop(state)
-    jax.block_until_ready(out)
-    float(out[1])
-    t0 = time.perf_counter()
-    out = loop(state)
-    float(out[1])
-    dt = (time.perf_counter() - t0) / iters
+    dt = chained_timer_stateful(step, state, batch_data, iters)
     return batch / dt
 
 

@@ -12,7 +12,6 @@ separately.  Usage: python scripts/profile_train.py [batch] [--remat POLICY]
 import argparse
 import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -23,34 +22,12 @@ jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from bench import chained_timer_stateful as chained  # noqa: E402
 from unipose_tpu.core.config import DATASETS, ModelConfig, TrainConfig
 from unipose_tpu.models.unipose import build_model
 from unipose_tpu.train.optim import make_optimizer
 from unipose_tpu.train.state import TrainState
 from unipose_tpu.train.steps import make_train_step, make_targets, mse, preprocess_images
-
-
-def chained(fn, state, batch, iters):
-    """Chain ``iters`` stateful executions in one compiled program; the batch
-    image is perturbed by a data-dependent zero so XLA cannot hoist."""
-
-    @jax.jit
-    def loop(state, batch):
-        def body(i, carry):
-            st, tick = carry
-            b = dict(batch, image=batch["image"] + tick * 0.0)
-            st, metrics = fn(st, b)
-            return st, metrics["loss"].astype(jnp.float32)
-
-        return jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
-
-    out = loop(state, batch)
-    jax.block_until_ready(out)
-    float(out[1])
-    t0 = time.perf_counter()
-    out = loop(state, batch)
-    float(out[1])
-    return (time.perf_counter() - t0) / iters
 
 
 def main():

@@ -1,10 +1,12 @@
 """One-off experiment harness: where do the train step's non-FLOP ms go?
 
 Variants measured (chained-in-jit, batch configurable):
+  * fwd eval-mode (BN frozen to running stats, no dropout)
   * fwd train-mode (baseline: BN batch stats + dropout)
-  * fwd train-mode, BN frozen to running stats (isolates BN-stat cost)
-  * fwd train-mode, dropout off (isolates RNG/mask cost)
+  * fwd+bwd, train-mode vs BN-frozen (isolates BN-train cost both directions)
   * full step at several batch sizes (MXU utilization vs batch)
+(dropout cost in isolation is measured by profile_train_variants2.py, which
+identity-patches flax Dropout — there is no per-apply toggle to plumb here)
 
 Not part of the bench surface; findings land in docs/BENCHMARKS.md.
 Usage: python scripts/profile_train_variants.py [--batches 32,64]
@@ -13,8 +15,6 @@ Usage: python scripts/profile_train_variants.py [--batches 32,64]
 import argparse
 import os
 import sys
-import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -25,31 +25,12 @@ jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+from bench import chained_timer_stateful as chained  # noqa: E402
 from unipose_tpu.core.config import DATASETS, ModelConfig, TrainConfig
 from unipose_tpu.models.unipose import build_model
 from unipose_tpu.train.optim import make_optimizer
 from unipose_tpu.train.state import TrainState
 from unipose_tpu.train.steps import make_train_step, make_targets, mse, preprocess_images
-
-
-def chained(fn, state, batch, iters):
-    @jax.jit
-    def loop(state, batch):
-        def body(i, carry):
-            st, tick = carry
-            b = dict(batch, image=batch["image"] + tick * 0.0)
-            st, metrics = fn(st, b)
-            return st, metrics["loss"].astype(jnp.float32)
-
-        return jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
-
-    out = loop(state, batch)
-    jax.block_until_ready(out)
-    float(out[1])
-    t0 = time.perf_counter()
-    out = loop(state, batch)
-    float(out[1])
-    return (time.perf_counter() - t0) / iters
 
 
 def make_inputs(model, spec, b, tx):
@@ -78,30 +59,26 @@ def make_inputs(model, spec, b, tx):
     return state, batch
 
 
-def fwd_variant(model, spec, *, bn_frozen, dropout):
-    """Forward-only step with BN / dropout toggles.
-
-    bn_frozen: BN uses running stats (still mutable-collect so tree shapes
-    match).  dropout False: eval-mode apply but with mutable batch_stats when
-    not frozen -- approximated by toggling train and rngs.
-    """
+def fwd_variant(model, spec, *, train):
+    """Forward-only step: ``train=False`` = BN running stats + no dropout
+    (eval mode); ``train=True`` = the training forward (BN batch stats +
+    dropout).  Dropout-in-isolation has no per-apply flax toggle — see
+    profile_train_variants2.py's identity patch."""
 
     def step(st, bt):
         x = preprocess_images(bt["image"])
         targets = make_targets(bt["kpts"], spec)
         variables = {"params": st.params, "batch_stats": st.batch_stats}
-        if bn_frozen and not dropout:
-            out = model.apply(variables, x, train=False)
-        elif bn_frozen and dropout:
-            # no such flax toggle without plumbing; skip (handled by caller)
-            raise NotImplementedError
+        if train:
+            out, _ = model.apply(
+                variables,
+                x,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(st.rng, 0)},
+            )
         else:
-            kwargs = dict(train=True, mutable=["batch_stats"])
-            if dropout:
-                kwargs["rngs"] = {"dropout": jax.random.fold_in(st.rng, 0)}
-            else:
-                kwargs["rngs"] = {"dropout": jax.random.fold_in(st.rng, 0)}
-            out, _ = model.apply(variables, x, **kwargs)
+            out = model.apply(variables, x, train=False)
         return st, {"loss": mse(out, targets)}
 
     return step
@@ -169,8 +146,8 @@ def main():
     state, batch = make_inputs(model, spec, b, tx)
 
     rows = [
-        ("fwd eval-mode (BN frozen, no dropout)", fwd_variant(model, spec, bn_frozen=True, dropout=False)),
-        ("fwd train-mode (baseline)", fwd_variant(model, spec, bn_frozen=False, dropout=True)),
+        ("fwd eval-mode (BN frozen, no dropout)", fwd_variant(model, spec, train=False)),
+        ("fwd train-mode (baseline)", fwd_variant(model, spec, train=True)),
         ("fwd+bwd train-mode (baseline)", grad_variant(model, spec)),
         ("fwd+bwd BN frozen", grad_frozen_bn(model, spec)),
     ]

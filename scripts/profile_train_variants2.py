@@ -51,28 +51,6 @@ def make_inputs(model, spec, b, tx):
     return state, batch
 
 
-def timed_nodonate(step, state, batch, iters):
-    """Chained timing for a non-donating step."""
-
-    @jax.jit
-    def loop(state, batch):
-        def body(i, carry):
-            st, tick = carry
-            b = dict(batch, image=batch["image"] + tick * 0.0)
-            st, metrics = step(st, b)
-            return st, metrics["loss"].astype(jnp.float32)
-
-        return jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
-
-    out = loop(state, batch)
-    jax.block_until_ready(out)
-    float(out[1])
-    t0 = time.perf_counter()
-    out = loop(state, batch)
-    float(out[1])
-    return (time.perf_counter() - t0) / iters
-
-
 def timed_donating(step, state, batch, iters):
     """Per-call loop for a donating jitted step (state buffers consumed each
     call, so chaining must happen through real donation, not fori_loop).

@@ -28,29 +28,13 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def _force_cpu_platform(n_devices: int) -> None:
-    """Steer to a virtual n-device CPU backend BEFORE any jax device use
-    (same recipe as tests/conftest.py — env vars alone lose to the
-    environment's sitecustomize TPU plugin registration)."""
-    import re
-
-    flags = os.environ.get("XLA_FLAGS", "")
-    opt = f"--xla_force_host_platform_device_count={n_devices}"
-    if "xla_force_host_platform_device_count" in flags:
-        flags = re.sub(r"--xla_force_host_platform_device_count=\d+", opt, flags)
-    else:
-        flags = f"{flags} {opt}".strip()
-    os.environ["XLA_FLAGS"] = flags
-
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
+from unipose_tpu.utils.platform import force_cpu_platform  # noqa: E402
 
 
 def run(device_counts=(1, 2, 4, 8), per_device_batch=1, size=64, iters=5):
     """Time the sharded train step over meshes of increasing size; returns
     the report dict.  Assumes the process already has >= max(device_counts)
-    CPU devices (call ``_force_cpu_platform`` first when standalone)."""
+    CPU devices (call ``force_cpu_platform`` first when standalone)."""
     import dataclasses
 
     import jax
@@ -137,7 +121,7 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=5)
     args = p.parse_args(argv)
     counts = tuple(int(s) for s in args.devices.split(","))
-    _force_cpu_platform(max(counts))
+    force_cpu_platform(max(counts))
     report = run(counts, args.per_device_batch, args.size, args.iters)
     print(json.dumps(report))
 

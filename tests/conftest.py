@@ -11,18 +11,18 @@ as no device has been touched yet — conftest runs before any test imports.
 """
 
 import os
+import sys
 
-# Must precede CPU backend initialization for the 8-device virtual mesh.
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
-import jax  # noqa: E402
+# Must precede CPU backend initialization for the 8-device virtual mesh.
+from unipose_tpu.utils.platform import force_cpu_platform  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+force_cpu_platform(8)
+
+import jax  # noqa: E402
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -66,17 +66,28 @@ def test_bare_env_launch_forwards_counts(monkeypatch):
 
     monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
     maybe_init_distributed()
-    assert seen == {"num_processes": 4, "process_id": 2}
+    assert seen == {
+        "coordinator_address": "10.0.0.1:1234",
+        "num_processes": 4,
+        "process_id": 2,
+    }
 
 
-def test_megascale_env_also_triggers(monkeypatch):
+def test_megascale_env_also_triggers_and_forwards_address(monkeypatch):
+    # jax's initialize() only reads JAX_COORDINATOR_ADDRESS from env; an
+    # address detected under another accepted name must be passed explicitly
+    # or the very var that fired the branch couldn't satisfy it.
     for var in mesh_mod._COORDINATOR_ENV_VARS:
         monkeypatch.delenv(var, raising=False)
     monkeypatch.setenv("MEGASCALE_COORDINATOR_ADDRESS", "10.0.0.1:8476")
-    calls = []
-    _instrument(monkeypatch, calls)
+    seen = {}
+
+    def fake_initialize(*a, **k):
+        seen.update(k)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
     maybe_init_distributed()
-    assert "initialize" in calls
+    assert seen["coordinator_address"] == "10.0.0.1:8476"
 
 
 def test_make_mesh_infers_negative_one():

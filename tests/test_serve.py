@@ -37,8 +37,10 @@ def artifact_path(tmp_path_factory):
 def test_serve_predict(artifact_path):
     ns = type("A", (), {})()
     ns.artifact = artifact_path
-    ns.num_joints = 14
-    ns.size = SIZE
+    # geometry must be DERIVED from the artifact's avals — flags left at
+    # defaults (and --size deliberately wrong) must not break /predict
+    ns.num_joints = None
+    ns.size = 368
     ns.host = "127.0.0.1"
     ns.port = 0  # ephemeral
     server = serve_mod.make_server(ns)
@@ -53,6 +55,7 @@ def test_serve_predict(artifact_path):
         health = json.loads(r.read())
         assert r.status == 200 and health["status"] == "ok"
         assert health["num_joints"] == 14
+        assert health["input"] == [1, SIZE, SIZE, 3]  # from the artifact
 
         img = np.random.RandomState(0).randint(0, 255, (90, 120, 3), np.uint8)
         ok, buf = cv2.imencode(".jpg", img)

@@ -173,6 +173,34 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.arange(4.0))
 
 
+def test_async_save_visible_to_fresh_manager_same_process(tmp_path):
+    """Saves are async; a manager freshly opened over the same directory
+    can't wait on *another instance's* in-flight write via orbax alone, so
+    CheckpointManager keeps a per-directory registry and waits on the prior
+    live instance at open.  Without it, same-process reopen-and-resume
+    (exactly what the Trainer does when constructed twice on one
+    checkpoint_dir) silently restarts from scratch."""
+    from unipose_tpu.train.checkpoint import CheckpointManager
+    from unipose_tpu.train.state import TrainState
+
+    state = TrainState(
+        params={"w": jnp.arange(4.0)},
+        batch_stats={"m": jnp.ones((2,))},
+        opt_state=(),
+        step=jnp.asarray(3, jnp.int32),
+        rng=jax.random.PRNGKey(3),
+    )
+    mgr_a = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr_a.save(3, state)  # async: returns before the write commits
+    # no mgr_a.wait() — a fresh manager must still see the step
+    mgr_b = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr_b.latest_step() == 3
+    restored = mgr_b.restore_latest(state)
+    assert int(restored.step) == 3
+    mgr_a.close()
+    mgr_b.close()
+
+
 def test_fused_loss_step_matches_default(rng):
     """The Pallas fused-loss train step computes the same loss/grads as the
     materializing path (first-step loss equality on identical state)."""

@@ -93,15 +93,13 @@ def make_server(args):
 
     import jax.numpy as jnp
 
-    from unipose_tpu.compat.export import load_inference
+    from unipose_tpu.compat.export import load_exported
 
     size = args.size
     if args.artifact:
         with open(args.artifact, "rb") as f:
             blob = f.read()
-        num_joints = args.num_joints
-        if num_joints is None:
-            raise SystemExit("--num_joints is required with --artifact")
+        num_joints = args.num_joints  # optional override; derived below if None
     else:
         import jax
 
@@ -128,9 +126,19 @@ def make_server(args):
             (1, size, size, 3),
         )
 
-    call = load_inference(blob)
+    exported = load_exported(blob)
+    call = exported.call
+    # The artifact is the source of truth for geometry: (1, H, W, 3) input,
+    # (1, h, w, K+1) heatmaps (channel 0 is background).  Flags can't lie
+    # about an artifact's shapes — a mismatched --size would turn every
+    # /predict into an opaque 400.
+    in_shape = tuple(exported.in_avals[0].shape)
+    size = int(in_shape[-3])  # H; robust to a (B, T, H, W, 3) video artifact
+    derived_joints = int(exported.out_avals[0].shape[-1]) - 1
+    if num_joints is None:
+        num_joints = derived_joints
     meta = {
-        "input": [1, size, size, 3],
+        "input": list(in_shape),
         "num_joints": num_joints,
         "artifact_bytes": len(blob),
     }
@@ -140,11 +148,18 @@ def make_server(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="unipose_tpu serving example")
-    p.add_argument("--artifact", default=None, help="exported StableHLO path")
+    p.add_argument(
+        "--artifact",
+        default=None,
+        help="exported StableHLO path (input size / joint count are read "
+        "from the artifact itself)",
+    )
     p.add_argument("--num_joints", type=int, default=None)
     p.add_argument("--dataset", default="LSP")
     p.add_argument("--pretrained", default=None)
-    p.add_argument("--size", type=int, default=368)
+    p.add_argument(
+        "--size", type=int, default=368, help="input size for in-process export"
+    )
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8500)
     args = p.parse_args(argv)

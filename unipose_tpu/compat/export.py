@@ -54,9 +54,16 @@ def export_inference(
     return blob
 
 
-def load_inference(blob: bytes):
-    """Deserialize an exported artifact; returns a callable."""
+def load_exported(blob: bytes):
+    """Deserialize an exported artifact; returns the ``Exported`` object
+    (``.call`` to invoke; ``.in_avals``/``.out_avals`` carry the exact input
+    geometry and output channel count — consumers should derive shapes from
+    these rather than trusting side-channel flags)."""
     from jax import export as jax_export
 
-    exported = jax_export.deserialize(blob)
-    return exported.call
+    return jax_export.deserialize(blob)
+
+
+def load_inference(blob: bytes):
+    """Deserialize an exported artifact; returns a callable."""
+    return load_exported(blob).call

@@ -44,8 +44,19 @@ def export_state_dict(
     """Flatten a flax ``variables`` tree ({"params", "batch_stats"}) into a
     torch-keyed ``state_dict`` of numpy arrays (pass through
     ``torch.from_numpy`` to feed ``load_state_dict``)."""
-    flat = _flatten(variables.get("params", {}))
-    stats = _flatten(variables.get("batch_stats", {}))
+    import jax
+
+    # One batched transfer up front: per-leaf np.asarray on device-resident
+    # trees would cost a ~24 ms tunnel round trip per leaf (~800 leaves for
+    # ResNet-101+WASP — tens of seconds; CLAUDE.md "Environment quirks").
+    variables = jax.device_get(
+        {
+            "params": variables.get("params", {}),
+            "batch_stats": variables.get("batch_stats", {}),
+        }
+    )
+    flat = _flatten(variables["params"])
+    stats = _flatten(variables["batch_stats"])
 
     out: Dict[str, np.ndarray] = {}
 

@@ -65,7 +65,14 @@ def maybe_init_distributed() -> None:
         return
     num = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
+    # initialize() only reads JAX_COORDINATOR_ADDRESS from the environment;
+    # forward an address detected under the other accepted names so the var
+    # that triggered this branch can actually satisfy it.
+    coordinator = next(
+        (os.environ[v] for v in _COORDINATOR_ENV_VARS if os.environ.get(v)), None
+    )
     jax.distributed.initialize(
+        coordinator_address=coordinator,
         num_processes=int(num) if num else None,
         process_id=int(pid) if pid else None,
     )

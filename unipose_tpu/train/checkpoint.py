@@ -11,6 +11,7 @@ the reference's best-only external semantics.
 from __future__ import annotations
 
 import os
+import weakref
 from typing import Optional
 
 import jax
@@ -48,6 +49,17 @@ def save_checkpoint(
     return None
 
 
+# Live managers by directory.  A *new* manager's wait_until_finished() is a
+# no-op for writes issued by a *different* instance over the same directory,
+# so without this a same-process "save async, reopen, restore_latest" sequence
+# could miss the just-saved step (cross-process is safe regardless: orbax
+# commits via atomic rename, so an unfinished save is simply invisible and the
+# fresh process resumes from the previous committed step).
+_LIVE_MANAGERS: "weakref.WeakValueDictionary[str, CheckpointManager]" = (
+    weakref.WeakValueDictionary()
+)
+
+
 class CheckpointManager:
     """Periodic checkpointing with retention + latest-restore — the
     preemption/auto-resume story the reference lacks (SURVEY §5.3).
@@ -57,10 +69,15 @@ class CheckpointManager:
     and writes to disk in a background thread — the train loop never stalls
     on checkpoint IO.  ``wait()``/``close()`` block until pending writes
     commit (call before process exit; ``restore_latest`` also waits so a
-    just-saved step is always visible)."""
+    just-saved step is always visible, and opening a new manager over a
+    directory another live manager is writing waits for its pending saves)."""
 
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = _as_path(directory)
+        prior = _LIVE_MANAGERS.get(self.directory)
+        if prior is not None:
+            prior.wait()
+        _LIVE_MANAGERS[self.directory] = self
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
