@@ -55,6 +55,50 @@ def test_image_train_updates_batch_stats(image_model, rng):
     assert not np.allclose(np.asarray(old), np.asarray(new))
 
 
+def test_freeze_bn_uses_running_stats_and_keeps_dropout(image_model, rng):
+    """freeze_bn=True = torch model.freeze_bn() intent (Reference:
+    model/unipose.py:24-25,40-45, broken upstream): during training BN
+    normalizes with running stats and does NOT update them, while dropout
+    stays active and BN affine params still receive gradients."""
+    m, v = image_model
+    mf = UniPose(num_classes=14, freeze_bn=True)
+    x = jnp.asarray(rng.randn(2, SIZE, SIZE, 3).astype(np.float32))
+
+    out, updates = mf.apply(
+        v, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    # stats untouched
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        v["batch_stats"], updates["batch_stats"],
+    )
+    # differs from the unfrozen train forward (which uses batch stats)
+    out_train, _ = m.apply(
+        v, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert not np.allclose(np.asarray(out), np.asarray(out_train))
+    # dropout still active: a different rng changes the output
+    out2, _ = mf.apply(
+        v, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+    # BN affine params still get gradients
+    def loss_fn(params):
+        y, _ = mf.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        return jnp.sum(y**2)
+
+    grads = jax.grad(loss_fn)(v["params"])
+    g = np.asarray(grads["backbone"]["bn1"]["weight"])
+    assert np.any(g != 0)
+
+
 def test_image_bf16_compute_f32_out(rng):
     m = UniPose(num_classes=14, dtype=jnp.bfloat16)
     x = jnp.asarray(rng.randn(1, SIZE, SIZE, 3).astype(np.float32))

@@ -33,6 +33,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lr", default=1e-4, type=float)
     p.add_argument("--frame_memory", default=5, type=int)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--freeze_bn", action="store_true",
+                   help="fine-tune with BatchNorm frozen to running stats "
+                        "(the reference flag, made functional)")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--config", default=None, type=str,
                    help="YAML config (see core.config.load_yaml_config); "
@@ -55,6 +58,7 @@ def configs_from_args(args) -> tuple:
         num_classes=spec.num_joints,
         variant="lstm" if video else "image",
         frame_memory=args.frame_memory,
+        freeze_bn=getattr(args, "freeze_bn", False),
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     # reference defaults: batch 8 image (unipose.py:49), clip-batch 1 video

@@ -155,6 +155,10 @@ class ModelConfig:
     stride: int = 8
     variant: str = "image"  # "image" | "lstm"
     sync_bn: bool = False  # real cross-replica BN (the reference flag is a no-op)
+    # Fine-tune with BN frozen to running stats (the reference accepts this
+    # flag but its freeze_bn() crashes on an undefined name upstream —
+    # model/unipose.py:24-25,:40-45; here it works, and saves the BN-train
+    # stat/backward traffic: ~12 ms/step at batch 32 on v5e, BENCHMARKS.md).
     freeze_bn: bool = False
     # dtype policy: params always f32; compute optionally bf16; BN stats f32.
     compute_dtype: jnp.dtype = jnp.float32

@@ -29,17 +29,19 @@ class _LastConv(nn.Module):
     0: conv3x3-256, 1: BN, 4: conv3x3-256, 5: BN, 8: conv1x1 out."""
 
     out_channels: int
+    freeze_bn: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        use_ra = (not train) or self.freeze_bn
         x = Conv(256, 3, padding=1, dtype=self.dtype, name="0")(x)
-        x = TorchBatchNorm(dtype=self.dtype, name="1")(x, use_running_average=not train)
+        x = TorchBatchNorm(dtype=self.dtype, name="1")(x, use_running_average=use_ra)
         x = nn.relu(x)
         if train:
             x = nn.Dropout(0.5, deterministic=False)(x)
         x = Conv(256, 3, padding=1, dtype=self.dtype, name="4")(x)
-        x = TorchBatchNorm(dtype=self.dtype, name="5")(x, use_running_average=not train)
+        x = TorchBatchNorm(dtype=self.dtype, name="5")(x, use_running_average=use_ra)
         x = nn.relu(x)
         if train:
             x = nn.Dropout(0.1, deterministic=False)(x)
@@ -52,6 +54,7 @@ class Decoder(nn.Module):
     # commented-out variant (decoder.py:31 ``num_classes+5+1``), consumed by
     # unipose_tpu.postproc.multi_person.
     bbox_head: bool = False
+    freeze_bn: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -59,11 +62,15 @@ class Decoder(nn.Module):
         self, x: jnp.ndarray, low_level_feat: jnp.ndarray, *, train: bool
     ) -> jnp.ndarray:
         llf = Conv(48, 1, dtype=self.dtype, name="conv1")(low_level_feat)
-        llf = TorchBatchNorm(dtype=self.dtype, name="bn1")(llf, use_running_average=not train)
+        llf = TorchBatchNorm(dtype=self.dtype, name="bn1")(
+            llf, use_running_average=(not train) or self.freeze_bn
+        )
         llf = nn.relu(llf)
         llf = max_pool2d(llf, 3, 2, 1)
 
         x = bilinear_resize(x, llf.shape[1:3])
         x = jnp.concatenate([x, llf], axis=-1)
         out_ch = self.num_classes + 1 + (5 if self.bbox_head else 0)
-        return _LastConv(out_ch, dtype=self.dtype, name="last_conv")(x, train=train)
+        return _LastConv(
+            out_ch, freeze_bn=self.freeze_bn, dtype=self.dtype, name="last_conv"
+        )(x, train=train)

@@ -63,11 +63,12 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     has_downsample: bool = False
+    freeze_bn: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
-        use_ra = not train
+        use_ra = (not train) or self.freeze_bn
         out = Conv(self.planes, 1, dtype=self.dtype, name="conv1")(x)
         out = TorchBatchNorm(dtype=self.dtype, name="bn1")(out, use_running_average=use_ra)
         out = nn.relu(out)
@@ -94,14 +95,14 @@ class Bottleneck(nn.Module):
                 dtype: Optional[jnp.dtype]
 
                 @nn.compact
-                def __call__(self, x, *, train: bool):
+                def __call__(self, x, *, use_ra: bool):
                     y = Conv(self.planes * 4, 1, stride=self.stride, dtype=self.dtype, name="0")(x)
                     return TorchBatchNorm(dtype=self.dtype, name="1")(
-                        y, use_running_average=not train
+                        y, use_running_average=use_ra
                     )
 
             residual = _Downsample(self.planes, self.stride, self.dtype, name="downsample")(
-                x, train=train
+                x, use_ra=use_ra
             )
 
         return nn.relu(out + residual)
@@ -114,6 +115,7 @@ class _Stage(nn.Module):
     strides: Sequence[int]
     dilations: Sequence[int]
     first_downsample: bool
+    freeze_bn: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -124,6 +126,7 @@ class _Stage(nn.Module):
                 stride=s,
                 dilation=d,
                 has_downsample=(i == 0 and self.first_downsample),
+                freeze_bn=self.freeze_bn,
                 dtype=self.dtype,
                 name=str(i),
             )(x, train=train)
@@ -137,6 +140,10 @@ class ResNet101(nn.Module):
     layers: Tuple[int, int, int, int] = (3, 4, 23, 3)
     multi_grid: Tuple[int, ...] = (1, 2, 4)
     stem_s2d: bool = False  # exact space-to-depth rewrite of the 7x7/2 stem
+    # torch model.freeze_bn() semantics (Reference: model/unipose.py:40-45,
+    # broken upstream): BN uses running stats during training, stats are not
+    # updated; affine params still train, dropout unaffected.
+    freeze_bn: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -163,7 +170,9 @@ class ResNet101(nn.Module):
             )(x)
         else:
             x = Conv(64, 7, stride=2, padding=3, dtype=self.dtype, name="conv1")(x)
-        x = TorchBatchNorm(dtype=self.dtype, name="bn1")(x, use_running_average=not train)
+        x = TorchBatchNorm(dtype=self.dtype, name="bn1")(
+            x, use_running_average=(not train) or self.freeze_bn
+        )
         x = nn.relu(x)
         x = max_pool2d(x, 3, 2, 1)
 
@@ -175,6 +184,7 @@ class ResNet101(nn.Module):
                 strides=[strides[i]] + [1] * (n_blocks - 1),
                 dilations=[dilations[i]] * n_blocks,
                 first_downsample=True,
+                freeze_bn=self.freeze_bn,
                 dtype=self.dtype,
                 name=name,
             )
@@ -189,6 +199,7 @@ class ResNet101(nn.Module):
             strides=[strides[3]] + [1] * (len(self.multi_grid) - 1),
             dilations=[m * dilations[3] for m in self.multi_grid],
             first_downsample=True,
+            freeze_bn=self.freeze_bn,
             dtype=self.dtype,
             name="layer4",
         )(x, train=train)

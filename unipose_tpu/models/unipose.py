@@ -40,6 +40,12 @@ class UniPose(nn.Module):
     # bbox-head variant (model/unipose.py:34-35, commented upstream): emit 5
     # extra box channels and return (keypoint_maps, box_maps).
     bbox_head: bool = False
+    # torch model.freeze_bn() fine-tune mode (Reference: model/unipose.py:24-25,
+    # 40-45; broken upstream — isinstance against the undefined name
+    # SynchronizedBatchNorm2d raises NameError when invoked): BN uses
+    # running stats during training and stats are not updated; BN affine
+    # params still receive gradients and dropout is unaffected.
+    freeze_bn: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -47,16 +53,21 @@ class UniPose(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         feats, low_level = ResNet101(
-            output_stride=self.output_stride, dtype=self.dtype, name="backbone"
+            output_stride=self.output_stride,
+            freeze_bn=self.freeze_bn,
+            dtype=self.dtype,
+            name="backbone",
         )(x, train=train)
         y = WASP(
             output_stride=self.output_stride,
             double_conv2=self.wasp_double_conv2,
+            freeze_bn=self.freeze_bn,
             dtype=self.dtype,
             name="wasp",
         )(feats, train=train)
         y = Decoder(
-            self.num_classes, bbox_head=self.bbox_head, dtype=self.dtype,
+            self.num_classes, bbox_head=self.bbox_head,
+            freeze_bn=self.freeze_bn, dtype=self.dtype,
             name="decoder",
         )(y, low_level, train=train)
         if self.stride != 8:
@@ -78,6 +89,7 @@ def build_model(config: ModelConfig) -> nn.Module:
             output_stride=config.output_stride,
             stride=config.stride,
             wasp_double_conv2=config.wasp_double_conv2,
+            freeze_bn=config.freeze_bn,
             dtype=None if config.compute_dtype == jnp.float32 else config.compute_dtype,
         )
     elif config.variant == "lstm":
@@ -89,6 +101,7 @@ def build_model(config: ModelConfig) -> nn.Module:
             stride=config.stride,
             wasp_double_conv2=config.wasp_double_conv2,
             remat_scan=config.remat_scan,
+            freeze_bn=config.freeze_bn,
             dtype=None if config.compute_dtype == jnp.float32 else config.compute_dtype,
         )
     raise ValueError(f"unknown variant {config.variant!r}")

@@ -124,6 +124,9 @@ class UniPoseLSTM(nn.Module):
     # but costs ~7x train-step compile time — opt in via config
     # (ModelConfig.remat_scan).
     remat_scan: bool = False
+    # torch model.freeze_bn() semantics (Reference: model/uniposeLSTM.py:94-95,
+    # 150-154, broken upstream): BN uses running stats during training.
+    freeze_bn: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -152,18 +155,23 @@ class UniPoseLSTM(nn.Module):
         # --- carry-independent tower, batched over B*T ---
         x = frames.reshape(b * t, h, w, frames.shape[-1])
         feats, low_level = ResNet101(
-            output_stride=self.output_stride, dtype=self.dtype, name="backbone"
+            output_stride=self.output_stride,
+            freeze_bn=self.freeze_bn,
+            dtype=self.dtype,
+            name="backbone",
         )(x, train=train)
         y = WASP(
             output_stride=self.output_stride,
             double_conv2=self.wasp_double_conv2,
             gap_batchnorm=False,  # video WASP quirk (waspVideo.py:56-59)
+            freeze_bn=self.freeze_bn,
             dtype=self.dtype,
             name="wasp",
         )(feats, train=train)
-        y = Decoder(self.num_classes, dtype=self.dtype, name="decoder")(
-            y, low_level, train=train
-        )  # (B*T, h8, w8, K+1)
+        y = Decoder(
+            self.num_classes, freeze_bn=self.freeze_bn, dtype=self.dtype,
+            name="decoder",
+        )(y, low_level, train=train)  # (B*T, h8, w8, K+1)
 
         cm = avg_pool2d(
             centermap.reshape(b * t, h, w, 1).astype(y.dtype), 9, 8, 1
