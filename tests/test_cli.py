@@ -37,3 +37,22 @@ def test_yaml_config_flag(tmp_path):
     preset = load_yaml_config(args.config)
     assert preset.model.variant == "lstm"
     assert preset.train.batch_size == 2
+
+
+def test_freeze_bn_flag():
+    args = build_argparser().parse_args(["--dataset", "LSP", "--freeze_bn"])
+    mc, _ = configs_from_args(args)
+    assert mc.freeze_bn is True
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """cli/export writes an artifact that cli/serve derives geometry from."""
+    from unipose_tpu.cli import export as export_cli
+    from unipose_tpu.compat.export import load_exported
+
+    out = tmp_path / "model.hlo"
+    export_cli.main(["--dataset", "LSP", "--out", str(out), "--size", "64"])
+    blob = out.read_bytes()
+    exported = load_exported(blob)
+    assert tuple(exported.in_avals[0].shape) == (1, 64, 64, 3)
+    assert int(exported.out_avals[0].shape[-1]) == 15  # 14 joints + background

@@ -1,0 +1,88 @@
+"""Export a serving artifact (StableHLO via ``jax.export``) to a file.
+
+The reference has no deployment story (SURVEY §1 "no serving layer"); this
+is the missing piece between training and ``cli/serve.py``: bake weights —
+fresh, torch-warm-started, or restored from an orbax checkpoint — into a
+self-contained artifact any JAX runtime can load without the model code.
+
+Usage:
+  python -m unipose_tpu.cli.export --dataset LSP --out model.hlo \
+      [--pretrained w.pth.tar | --checkpoint_dir ckpts/] [--size 368]
+  python -m unipose_tpu.cli.export --dataset Penn_Action \
+      --model_arch uniposeLSTM --frame_memory 5 --out video.hlo
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="unipose_tpu artifact export")
+    p.add_argument("--dataset", type=str, default="LSP")
+    p.add_argument("--out", required=True, type=str, help="output artifact path")
+    p.add_argument("--pretrained", default=None, type=str,
+                   help="torch .pth.tar to warm-start from")
+    p.add_argument("--checkpoint_dir", default=None, type=str,
+                   help="orbax checkpoint dir to restore the latest step from")
+    p.add_argument("--model_arch", default="unipose", type=str,
+                   choices=["unipose", "uniposeLSTM"])
+    p.add_argument("--frame_memory", default=5, type=int)
+    p.add_argument("--batch", default=1, type=int, help="baked batch size")
+    p.add_argument("--size", default=368, type=int, help="baked input size")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from unipose_tpu.compat.export import export_inference
+    from unipose_tpu.core.config import DATASETS, ModelConfig, TrainConfig
+    from unipose_tpu.train.state import create_train_state
+
+    import jax.numpy as jnp
+
+    spec = DATASETS[args.dataset]
+    video = args.model_arch == "uniposeLSTM"
+    mc = ModelConfig(
+        dataset=args.dataset,
+        num_classes=spec.num_joints,
+        variant="lstm" if video else "image",
+        frame_memory=args.frame_memory,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    model, _, state = create_train_state(
+        mc, TrainConfig(), jax.random.PRNGKey(0), input_size=args.size
+    )
+    if args.pretrained:
+        from unipose_tpu.train.checkpoint import warm_start_from_torch
+
+        state = warm_start_from_torch(
+            state, args.pretrained, variant="lstm" if video else "image"
+        )
+    if args.checkpoint_dir:
+        from unipose_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(args.checkpoint_dir)
+        restored = mgr.restore_latest(state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint found in {args.checkpoint_dir}")
+        state = restored
+        print(f"restored step {int(state.step)} from {args.checkpoint_dir}")
+
+    shape = (
+        (args.batch, args.frame_memory, args.size, args.size, 3)
+        if video
+        else (args.batch, args.size, args.size, 3)
+    )
+    blob = export_inference(
+        model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        shape,
+        path=args.out,
+        video=video,
+    )
+    print(f"wrote {args.out}: {len(blob)} bytes, input {list(shape)}")
+
+
+if __name__ == "__main__":
+    main()
