@@ -56,3 +56,29 @@ def test_export_cli_roundtrip(tmp_path):
     exported = load_exported(blob)
     assert tuple(exported.in_avals[0].shape) == (1, 64, 64, 3)
     assert int(exported.out_avals[0].shape[-1]) == 15  # 14 joints + background
+
+
+def test_export_cli_from_checkpoint_dir(tmp_path):
+    """--checkpoint_dir restores the latest orbax step before baking."""
+    import jax
+
+    from unipose_tpu.cli import export as export_cli
+    from unipose_tpu.core.config import ModelConfig, TrainConfig
+    from unipose_tpu.train.checkpoint import CheckpointManager
+    from unipose_tpu.train.state import create_train_state
+
+    mc = ModelConfig(dataset="LSP", num_classes=14)
+    _, _, state = create_train_state(
+        mc, TrainConfig(), jax.random.PRNGKey(0), input_size=64
+    )
+    state = state.replace(step=state.step + 5)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(5, state)
+    mgr.wait()
+
+    out = tmp_path / "model.hlo"
+    export_cli.main([
+        "--dataset", "LSP", "--out", str(out), "--size", "64",
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+    ])
+    assert out.stat().st_size > 0

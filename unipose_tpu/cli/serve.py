@@ -128,12 +128,19 @@ def make_server(args):
 
     exported = load_exported(blob)
     call = exported.call
+    if len(exported.in_avals) != 1 or exported.in_avals[0].ndim != 4:
+        raise SystemExit(
+            "serve expects an image artifact with one (B, H, W, 3) input; "
+            f"got {len(exported.in_avals)} input(s) "
+            f"{[tuple(a.shape) for a in exported.in_avals]} — video artifacts "
+            "are not servable by this endpoint"
+        )
     # The artifact is the source of truth for geometry: (1, H, W, 3) input,
     # (1, h, w, K+1) heatmaps (channel 0 is background).  Flags can't lie
     # about an artifact's shapes — a mismatched --size would turn every
     # /predict into an opaque 400.
-    in_shape = tuple(exported.in_avals[0].shape)
-    size = int(in_shape[-3])  # H; robust to a (B, T, H, W, 3) video artifact
+    in_shape = tuple(exported.in_avals[0].shape)  # (B, H, W, 3), guarded above
+    size = int(in_shape[1])
     derived_joints = int(exported.out_avals[0].shape[-1]) - 1
     if num_joints is None:
         num_joints = derived_joints
