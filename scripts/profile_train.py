@@ -6,7 +6,7 @@ Times (chained-in-jit, see bench.chained_timer):
   * the full step (grad + Adam update + state rebuild)
   * the full step with the Pallas fused target+loss kernel
 so the 3 deltas (backward cost, optimizer cost, fused-loss gain) are visible
-separately.  Usage: python scripts/profile_train.py [batch] [--remat POLICY]
+separately.  Usage: python scripts/profile_train.py [batch] [--iters N] [--size S]
 """
 
 import argparse

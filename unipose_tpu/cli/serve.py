@@ -144,6 +144,12 @@ def make_server(args):
     derived_joints = int(exported.out_avals[0].shape[-1]) - 1
     if num_joints is None:
         num_joints = derived_joints
+    elif num_joints > derived_joints:
+        raise SystemExit(
+            f"--num_joints {num_joints} exceeds the artifact's "
+            f"{derived_joints} joint channels — every /predict would fail; "
+            "drop the flag to derive the count from the artifact"
+        )
     meta = {
         "input": list(in_shape),
         "num_joints": num_joints,

@@ -109,8 +109,12 @@ def get_dataloader(
       * MPII: TestResized(368) both, val/test batch 1 (:247-264);
       * Penn_Action: the reference reuses ``batch_size`` as the clip length
         (:286 — quirk); pass ``frame_memory`` to be explicit, clip batch 1;
-      * BBC: TestResized + NTID-style flip on train (:331-348), grouped into
-        ``frame_memory`` windows for the LSTM.
+      * BBC: TestResized + BBC flip on train, grouped into ``frame_memory``
+        windows for the LSTM.  REPAIR (SURVEY §7.3 rule: fix crash-class rot):
+        the reference wires the NTID flip into its BBC branch
+        (utils/utils.py:335), whose swap pairs index joint 11 and crash on
+        BBC's 7-joint arrays; the reference's own ``RandomHorizontalFlip_BBC``
+        (Mytransforms.py:590-613) with BBC swap pairs (:533) is used instead.
 
     Returns (train_loader, val_loader, test_loader); missing splits are None.
     The reference's 8th positional arg mismatch (SURVEY §2.4.4 — callers pass
@@ -218,7 +222,7 @@ def get_dataloader(
             train_loader = PrefetchLoader(
                 BBCDataset(
                     train_dir, sigma, "Train",
-                    T.Compose([T.TestResized(368), T.RandomHorizontalFlip_NTID()]),
+                    T.Compose([T.TestResized(368), T.RandomHorizontalFlip_BBC()]),
                     seq_len=T_mem,
                 ),
                 batch_size, shuffle=True, num_workers=workers, seed=seed,

@@ -66,6 +66,8 @@ class NTIDDataset:
         s = self.samples[index]
         img_path = os.path.join(self.root_dir, s["img_path"])
         img = cv2.imread(img_path)
+        if img is None:
+            raise FileNotFoundError(f"unreadable image: {img_path}")
         kpt = np.asarray(s["joints"], np.float32).reshape(-1, 3)
         if "center" in s:
             center = np.asarray(s["center"], np.float32)

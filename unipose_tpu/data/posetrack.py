@@ -98,15 +98,20 @@ class PoseTrackDataset:
             x0, y0 = vis[:, 0].min(), vis[:, 1].min()
             bw, bh = vis[:, 0].max() - x0, vis[:, 1].max() - y0
         px, py = bw * self.bbox_pad, bh * self.bbox_pad
-        x0, y0 = max(0, int(x0 - px)), max(0, int(y0 - py))
-        x1 = min(w, int(x0 + bw + 2 * px))
-        y1 = min(h, int(y0 + bh + 2 * py))
+        # far edge from the *unclamped* padded box, so a bbox hugging the
+        # left/top edge doesn't silently grow the crop on the far side
+        x1 = min(w, int(x0 + bw + px))
+        y1 = min(h, int(y0 + bh + py))
+        x0 = min(max(0, int(x0 - px)), w - 1)
+        y0 = min(max(0, int(y0 - py)), h - 1)
         return x0, y0, max(x1, x0 + 1), max(y1, y0 + 1)
 
     def __getitem__(self, index: int):
         s = self.samples[index]
         img_path = os.path.join(self.root_dir, s["file_name"])
         img = cv2.imread(img_path)
+        if img is None:
+            raise FileNotFoundError(f"unreadable image: {img_path}")
         kpt = s["keypoints"].copy()
 
         x0, y0, x1, y1 = self._crop_box(kpt, s["bbox"], img.shape)

@@ -77,6 +77,11 @@ class CheckpointManager:
         prior = _LIVE_MANAGERS.get(self.directory)
         if prior is not None:
             prior.wait()
+        # Keep a weak handle so saves the prior instance issues *after* this
+        # construction are still waited on by wait()/restore_latest() (a new
+        # manager's wait_until_finished is a no-op for another instance's
+        # writes).  Weak so abandoned managers can still be collected.
+        self._prior = weakref.ref(prior) if prior is not None else None
         _LIVE_MANAGERS[self.directory] = self
         self._mgr = ocp.CheckpointManager(
             self.directory,
@@ -91,14 +96,17 @@ class CheckpointManager:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
 
     def wait(self) -> None:
+        prior = self._prior() if self._prior is not None else None
+        if prior is not None and prior is not self:
+            prior._mgr.wait_until_finished()
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
-        self._mgr.wait_until_finished()
+        self.wait()
         return self._mgr.latest_step()
 
     def restore_latest(self, template: TrainState) -> Optional[TrainState]:
-        self._mgr.wait_until_finished()
+        self.wait()
         step = self._mgr.latest_step()
         if step is None:
             return None
