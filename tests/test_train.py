@@ -54,6 +54,92 @@ def test_schedule_matches_reference_policy():
     assert float(sched(2 * 13275)) == pytest.approx(1e-4 * 0.333**2, rel=1e-5)
 
 
+def test_val_fast_path_matches_oracle(rng):
+    """The TPU-first validation pipeline (device argmax -> coords ->
+    accuracy_from_coords, per frame) must reproduce the reference-semantics
+    oracle (full-heatmap ``accuracy``) exactly — including argmax
+    tie-breaking (duplicated maxima planted) and the running-mean /
+    visibility gating of the epoch accumulators (unipose.py:163-176)."""
+    from unipose_tpu.eval.metrics import (
+        accuracy,
+        accuracy_from_coords,
+        get_max_preds_device,
+    )
+
+    n, k1, hm = 7, 15, 46  # 14 joints + background
+    heat = rng.rand(n, hm, hm, k1).astype(np.float32)
+    target = np.zeros((n, hm, hm, k1), np.float32)
+    ys = (rng.rand(n, k1) * hm).astype(int)
+    xs = (rng.rand(n, k1) * hm).astype(int)
+    for i in range(n):
+        for c in range(k1):
+            target[i, ys[i, c], xs[i, c], c] = 1.0
+    # plant argmax ties: duplicate each frame-0 max at another location
+    for c in range(k1):
+        m = heat[0, :, :, c].max()
+        heat[0, (ys[0, c] + 7) % hm, (xs[0, c] + 9) % hm, c] = m
+
+    def run_epoch(frame_fn):
+        k = k1 - 1
+        AP = np.zeros(k1)
+        count = np.zeros(k1)
+        for frame_idx in range(n):
+            acc, _, _, _, _, visible = frame_fn(frame_idx)
+            AP[0] = (AP[0] * frame_idx + acc[0]) / (frame_idx + 1)
+            for j in range(1, k + 1):
+                if visible[j] == 1:
+                    AP[j] = (AP[j] * count[j] + acc[j]) / (count[j] + 1)
+                    count[j] += 1
+        return AP, count
+
+    # oracle: reference loop shape — full heatmaps, host argmax, batch 1
+    AP_ref, cnt_ref = run_epoch(
+        lambda i: accuracy(
+            heat[i : i + 1], target[i : i + 1], 0.2, 0.5, "LSP", layout="NHWC"
+        )
+    )
+
+    # fast path: batched device argmax once, coords-only metrics
+    pred_dev, _ = get_max_preds_device(jnp.asarray(heat))
+    tgt_dev, _ = get_max_preds_device(jnp.asarray(target))
+    pred_np, tgt_np = np.asarray(pred_dev), np.asarray(tgt_dev)
+    AP_fast, cnt_fast = run_epoch(
+        lambda i: accuracy_from_coords(
+            pred_np[i : i + 1], tgt_np[i : i + 1], hm, hm, 0.2, 0.5, "LSP"
+        )
+    )
+
+    np.testing.assert_array_equal(cnt_ref, cnt_fast)
+    np.testing.assert_allclose(AP_ref, AP_fast, rtol=0, atol=0)
+
+
+def test_trainconfig_sigma_stride_overrides_reach_targets(rng):
+    """TrainConfig.sigma/stride are real knobs: resolving them through
+    effective_spec changes the rendered Gaussian targets (a YAML
+    ``train.sigma`` override must not silently no-op)."""
+    from unipose_tpu.core.config import effective_spec
+    from unipose_tpu.ops.heatmap import render_targets
+    from unipose_tpu.train.steps import make_targets
+
+    spec = tiny_spec("LSP")
+    kpts = image_batch(rng)["kpts"]
+
+    default = make_targets(kpts, effective_spec(spec, TrainConfig()))
+    assert float(spec.sigma) == 3.0  # default flows from the spec
+
+    over = effective_spec(spec, TrainConfig(sigma=5.0))
+    assert over.sigma == 5.0
+    got = make_targets(kpts, over)
+    want = render_targets(kpts[..., :2], SIZE, SIZE, spec.stride, 5.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+    assert not np.allclose(np.asarray(got), np.asarray(default))
+
+    # stride override changes the rendered resolution
+    st = effective_spec(spec, TrainConfig(stride=4))
+    assert st.heatmap_size == SIZE // 4
+    assert make_targets(kpts, st).shape == (2, SIZE // 4, SIZE // 4, 15)
+
+
 def test_image_train_step_reduces_loss(rng):
     spec = tiny_spec("LSP")
     mc = ModelConfig(dataset="LSP", num_classes=14)

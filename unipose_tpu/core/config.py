@@ -195,8 +195,11 @@ class TrainConfig:
     step_size: int = 13275
     epochs: int = 100
     workers: int = 1
-    sigma: float = 3.0
-    stride: int = 8
+    # Target-rendering overrides.  ``None`` (default) means "use the dataset
+    # spec's value" (DatasetSpec.sigma/stride); setting them overrides what
+    # reaches the device-side Gaussian renderer (see ``effective_spec``).
+    sigma: Optional[float] = None
+    stride: Optional[int] = None
     seed: int = 0
     # TPU-native additions (no reference equivalent):
     mesh_shape: Tuple[int, ...] = (1,)
@@ -204,6 +207,24 @@ class TrainConfig:
     donate_state: bool = True
     checkpoint_dir: Optional[str] = None
     model_name: str = "unipose"
+    # Validation forward batch size.  The reference runs val at batch 1
+    # (unipose.py:64); metric *semantics* stay per-frame regardless (the
+    # Trainer computes metrics per sample), so batching the forward is pure
+    # throughput.  1 reproduces the reference loop shape exactly.
+    val_batch_size: int = 8
+
+
+def effective_spec(spec: DatasetSpec, train: TrainConfig) -> DatasetSpec:
+    """Resolve the one source of truth for target rendering: the dataset
+    spec, with TrainConfig.sigma/stride applied when set.  Everything
+    downstream (loaders, train/eval steps) must consume the returned spec,
+    never TrainConfig.sigma/stride directly."""
+    overrides = {}
+    if train.sigma is not None:
+        overrides["sigma"] = float(train.sigma)
+    if train.stride is not None:
+        overrides["stride"] = int(train.stride)
+    return dataclasses.replace(spec, **overrides) if overrides else spec
 
 
 # ---------------------------------------------------------------------------

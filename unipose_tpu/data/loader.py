@@ -100,6 +100,7 @@ def get_dataloader(
     test_dir: Optional[str] = None,
     frame_memory: Optional[int] = None,
     seed: int = 0,
+    val_batch_size: int = 1,
 ):
     """Dataset wiring mirroring the reference factory
     (utils/utils.py:231-351):
@@ -120,6 +121,10 @@ def get_dataloader(
     The reference's 8th positional arg mismatch (SURVEY §2.4.4 — callers pass
     7 args so ``sigma`` lands in ``test_dir``) is repaired by keyword-only
     ``test_dir``.
+
+    ``val_batch_size`` (default 1 = the reference's val loader shape) batches
+    the val/test forward for throughput; metric semantics are per-frame
+    either way (train/trainer.py validation).
     """
     from unipose_tpu.data.bbc import BBCDataset
     from unipose_tpu.data.lsp import LSPDataset
@@ -144,7 +149,7 @@ def get_dataloader(
                 LSPDataset(
                     "lsp", val_dir, sigma, stride, T.Compose([T.TestResized(368)])
                 ),
-                1, shuffle=False, num_workers=workers, drop_last=False,
+                val_batch_size, shuffle=False, num_workers=workers, drop_last=False,
             )
     elif dataset == "MPII":
         if train_dir:
@@ -155,12 +160,12 @@ def get_dataloader(
         if val_dir:
             val_loader = PrefetchLoader(
                 MPIIDataset(val_dir, sigma, "Val", T.Compose([T.TestResized(368)])),
-                1, shuffle=False, num_workers=workers, drop_last=False,
+                val_batch_size, shuffle=False, num_workers=workers, drop_last=False,
             )
         if test_dir:
             test_loader = PrefetchLoader(
                 MPIIDataset(test_dir, sigma, "Val", T.Compose([T.TestResized(368)])),
-                1, shuffle=False, num_workers=workers, drop_last=False,
+                val_batch_size, shuffle=False, num_workers=workers, drop_last=False,
             )
     elif dataset == "Penn_Action":
         T_mem = frame_memory or batch_size  # reference quirk (:286)
@@ -176,7 +181,7 @@ def get_dataloader(
                 PennActionDataset(
                     val_dir, sigma, T_mem, False, T.Compose([T.TestResized(368)])
                 ),
-                1, shuffle=False, num_workers=workers, drop_last=False,
+                val_batch_size, shuffle=False, num_workers=workers, drop_last=False,
             )
     elif dataset == "NTID":
         # Reference branch utils/utils.py:299-316 (its ntid_data module is
@@ -192,12 +197,12 @@ def get_dataloader(
         if val_dir:
             val_loader = PrefetchLoader(
                 NTIDDataset(val_dir, sigma, "Val", T.Compose([T.TestResized(368)])),
-                1, shuffle=False, num_workers=workers, drop_last=False,
+                val_batch_size, shuffle=False, num_workers=workers, drop_last=False,
             )
         if test_dir:
             test_loader = PrefetchLoader(
                 NTIDDataset(test_dir, sigma, "Test"),
-                1, shuffle=False, num_workers=workers, drop_last=False,
+                val_batch_size, shuffle=False, num_workers=workers, drop_last=False,
             )
     elif dataset == "PoseTrack":
         # Reference branch utils/utils.py:318-329 (its posetrack_data module
@@ -214,7 +219,7 @@ def get_dataloader(
                 PoseTrackDataset(
                     False, val_dir, sigma, stride, T.Compose([T.TestResized(368)])
                 ),
-                1, shuffle=False, num_workers=workers, drop_last=False,
+                val_batch_size, shuffle=False, num_workers=workers, drop_last=False,
             )
     elif dataset == "BBC":
         T_mem = frame_memory or 5
@@ -233,11 +238,11 @@ def get_dataloader(
                     val_dir, sigma, "Val", T.Compose([T.TestResized(368)]),
                     seq_len=T_mem,
                 ),
-                1, shuffle=False, num_workers=workers, drop_last=False,
+                val_batch_size, shuffle=False, num_workers=workers, drop_last=False,
             )
             test_loader = PrefetchLoader(
                 BBCDataset(val_dir, sigma, "Test", seq_len=T_mem),
-                1, shuffle=False, num_workers=workers, drop_last=False,
+                val_batch_size, shuffle=False, num_workers=workers, drop_last=False,
             )
     else:
         raise ValueError(f"unknown dataset {dataset!r}")

@@ -78,6 +78,19 @@ def calc_dists(preds: np.ndarray, target: np.ndarray, normalize: np.ndarray):
     return dists
 
 
+def calc_dists_vectorized(
+    preds: np.ndarray, target: np.ndarray, normalize: np.ndarray
+) -> np.ndarray:
+    """Vectorized twin of :func:`calc_dists` (bit-identical: the same
+    divide-then-subtract order in f32, widened to f64 on store)."""
+    preds = preds.astype(np.float32)
+    target = target.astype(np.float32)
+    measurable = (target[:, :, 0] > 1) & (target[:, :, 1] > 1)  # (N, K)
+    diff = preds / normalize[:, None, :] - target / normalize[:, None, :]
+    d = np.linalg.norm(diff, axis=-1)  # (N, K) f32
+    return np.where(measurable, d.astype(np.float64), -1.0).T  # (K, N)
+
+
 def dist_acc(dists: np.ndarray, threshold: float = 0.5):
     dist_cal = np.not_equal(dists, -1)
     num_dist_cal = dist_cal.sum()
@@ -172,16 +185,38 @@ def accuracy(
         output = np.moveaxis(output, -1, 1)
         target = np.moveaxis(target, -1, 1)
 
-    idx = list(range(output.shape[1]))
-    if hm_type == "gaussian":
-        pred, _ = get_max_preds(output)
-        target_pts, _ = get_max_preds(target)
-        h, w = output.shape[2], output.shape[3]
-        norm = np.ones((pred.shape[0], 2)) * np.array([h, w]) / 10
-    else:
+    if hm_type != "gaussian":
         raise ValueError(f"unknown hm_type {hm_type!r}")
+    pred, _ = get_max_preds(output)
+    target_pts, _ = get_max_preds(target)
+    h, w = output.shape[2], output.shape[3]
+    return accuracy_from_coords(
+        pred, target_pts, h, w, thr_PCK, thr_PCKh, dataset, threshold=threshold
+    )
 
-    dists = calc_dists(pred, target_pts, norm)
+
+def accuracy_from_coords(
+    pred: np.ndarray,
+    target_pts: np.ndarray,
+    h: int,
+    w: int,
+    thr_PCK: float,
+    thr_PCKh: float,
+    dataset: str,
+    threshold: float = 0.5,
+):
+    """Metric core on argmax coordinates — the TPU-first validation path
+    (argmax runs on device via :func:`get_max_preds_device`, so only
+    (B, K, 2) coords cross to host).  ``accuracy`` routes through this
+    function after its host-side argmax, so the two paths agree by
+    construction on everything past the argmax; argmax parity device vs
+    numpy is pinned separately (tests/test_metrics.py)."""
+    pred = np.asarray(pred)
+    target_pts = np.asarray(target_pts)
+    idx = list(range(pred.shape[1]))
+    norm = np.ones((pred.shape[0], 2)) * np.array([h, w]) / 10
+
+    dists = calc_dists_vectorized(pred, target_pts, norm)
 
     acc = np.zeros((len(idx)))
     avg_acc = 0.0

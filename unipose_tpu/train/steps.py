@@ -154,6 +154,47 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_val_step(model, spec: DatasetSpec, *, video: bool = False):
+    """Compiled validation step — the TPU-first successor of the reference's
+    host-bound loop (unipose.py:133-193 pulls full heatmaps to host per
+    batch-1 sample and argmaxes in Python).
+
+    Forward runs in eval mode at batch B; heatmap argmax for both predictions
+    and rendered targets runs on device (eval/metrics.py
+    ``get_max_preds_device``, identical first-max semantics), so only
+    (B,[T,]K,2) coordinates and a scalar loss cross to host — the (B,46,46,K+1)
+    heatmaps never leave HBM.  Metric math on the coords is host-side
+    ``accuracy_from_coords`` (pinned equal to the reference ``accuracy``).
+    """
+    from unipose_tpu.eval.metrics import get_max_preds_device
+
+    def step(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if video:
+            x = preprocess_images(batch["frames"])
+            targets = make_targets(batch["kpts"], spec)
+            centermaps = make_centermaps(batch["centers"], spec)
+            out = model.apply(variables, x, centermaps, train=False)
+            loss = mse(out, targets) * x.shape[1]
+            b, t = out.shape[0], out.shape[1]
+            flat = lambda a: a.reshape((b * t,) + a.shape[2:])  # noqa: E731
+            pred, _ = get_max_preds_device(flat(out.astype(jnp.float32)))
+            tgt, _ = get_max_preds_device(flat(targets))
+            k = pred.shape[1]
+            pred = pred.reshape(b, t, k, 2)
+            tgt = tgt.reshape(b, t, k, 2)
+        else:
+            x = preprocess_images(batch["image"])
+            targets = make_targets(batch["kpts"], spec)
+            out = model.apply(variables, x, train=False)
+            loss = mse(out, targets)
+            pred, _ = get_max_preds_device(out.astype(jnp.float32))
+            tgt, _ = get_max_preds_device(targets)
+        return pred, tgt, loss
+
+    return jax.jit(step)
+
+
 def make_eval_step(model, spec: DatasetSpec, *, video: bool = False):
     """Compiled eval step: forward in eval mode; returns f32 heatmaps and
     rendered targets (both NHWC) plus the per-batch MSE loss."""

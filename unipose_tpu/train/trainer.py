@@ -18,14 +18,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unipose_tpu.core.config import DATASETS, ModelConfig, TrainConfig
+from unipose_tpu.core.config import DATASETS, ModelConfig, TrainConfig, effective_spec
 from unipose_tpu.data.loader import get_dataloader
-from unipose_tpu.eval.metrics import accuracy
+from unipose_tpu.eval.metrics import accuracy_from_coords
 from unipose_tpu.eval.report import print_accuracies
 from unipose_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from unipose_tpu.train.checkpoint import save_checkpoint, warm_start_from_torch
 from unipose_tpu.train.state import create_train_state
-from unipose_tpu.train.steps import make_eval_step, make_train_step
+from unipose_tpu.train.steps import make_eval_step, make_train_step, make_val_step
 
 
 class Trainer:
@@ -47,7 +47,11 @@ class Trainer:
         pipelines; by default both derive from ``model_config.dataset``."""
         self.model_config = model_config
         self.train_config = train_config
-        self.spec = spec or DATASETS[model_config.dataset]
+        # TrainConfig.sigma/stride overrides resolve into the spec here; all
+        # downstream consumers (loaders + compiled steps) read the spec only.
+        self.spec = effective_spec(
+            spec or DATASETS[model_config.dataset], train_config
+        )
         self.video = model_config.variant == "lstm"
         self.log_every = log_every
 
@@ -60,12 +64,13 @@ class Trainer:
                     model_config.dataset,
                     train_dir,
                     val_dir,
-                    train_config.sigma,
-                    train_config.stride,
+                    self.spec.sigma,
+                    self.spec.stride,
                     train_config.workers,
                     train_config.batch_size,
                     frame_memory=model_config.frame_memory if self.video else None,
                     seed=train_config.seed,
+                    val_batch_size=train_config.val_batch_size,
                 )
                 if (train_dir or val_dir)
                 else (None, None, None)
@@ -101,6 +106,7 @@ class Trainer:
             self.model, self.tx, self.spec, video=self.video
         )
         self.eval_step = make_eval_step(self.model, self.spec, video=self.video)
+        self.val_step = make_val_step(self.model, self.spec, video=self.video)
 
         self.is_best = 0.0
         self.best_pck = 0.0
@@ -171,49 +177,87 @@ class Trainer:
             self.ckpt_manager.wait()
 
     # ------------------------------------------------------------------
+    def _device_batch_padded(self, batch, pad_to):
+        """Pad a ragged trailing batch to the compiled batch size by
+        repeating the last sample (static shapes, one compile).  Returns
+        (device batch, n real samples, resolved pad size)."""
+        keep = ("image", "frames", "kpts", "centers")
+        sub = {key: np.asarray(v) for key, v in batch.items() if key in keep}
+        n = next(iter(sub.values())).shape[0]
+        if pad_to is None:
+            pad_to = n
+        if n < pad_to:
+            sub = {
+                key: np.concatenate([v, np.repeat(v[-1:], pad_to - n, axis=0)])
+                for key, v in sub.items()
+            }
+        return shard_batch(sub, self.mesh), n, pad_to
+
     def validation(self, epoch: int) -> float:
+        """TPU-first validation (reference behavior: unipose.py:133-193).
+
+        The reference pulls full heatmaps to host per batch-1 sample and
+        syncs per batch; here the forward runs batched, heatmap argmax for
+        predictions AND targets happens on device (make_val_step), the loop
+        enqueues all batches without a single host sync, and the host sees
+        one concatenated (N, K+1, 2) coord fetch at the end.  Metric values
+        are identical: per-frame ``accuracy_from_coords`` with the same
+        running-mean + visibility gating (unipose.py:163-176), pinned
+        against the oracle ``accuracy`` in tests/test_train.py."""
         k = self.model_config.num_classes
         AP = np.zeros(k + 1)
         PCK = np.zeros(k + 1)
         PCKh = np.zeros(k + 1)
         count = np.zeros(k + 1)
-        val_loss = 0.0
         mAP = mPCK = mPCKh = 0.0
-        frame_idx = 0
 
+        pending = []  # (pred coords, target coords, loss) device arrays
+        valids = []
+        pad_to = getattr(self.val_loader, "batch_size", None)
         for batch in self.val_loader:
-            heat, target, loss = self.eval_step(
-                self.state.params, self.state.batch_stats, self._device_batch(batch)
+            db, n_valid, pad_to = self._device_batch_padded(batch, pad_to)
+            pending.append(
+                self.val_step(self.state.params, self.state.batch_stats, db)
             )
-            val_loss += float(loss)
-            heat = np.asarray(heat)
-            target = np.asarray(target)
-            if self.video:
-                frames = [
-                    (heat[:, j], target[:, j]) for j in range(heat.shape[1])
-                ]
-            else:
-                frames = [(heat, target)]
+            valids.append(n_valid)
+        if not pending:
+            return 0.0
 
-            for h, t in frames:
-                acc, acc_pck, acc_pckh, _, _, visible = accuracy(
-                    h, t, 0.2, 0.5, self.model_config.dataset, layout="NHWC"
-                )
-                # running means, visibility-gated per joint (unipose.py:163-176)
-                AP[0] = (AP[0] * frame_idx + acc[0]) / (frame_idx + 1)
-                PCK[0] = (PCK[0] * frame_idx + acc_pck[0]) / (frame_idx + 1)
-                PCKh[0] = (PCKh[0] * frame_idx + acc_pckh[0]) / (frame_idx + 1)
-                for j in range(1, k + 1):
-                    if visible[j] == 1:
-                        AP[j] = (AP[j] * count[j] + acc[j]) / (count[j] + 1)
-                        PCK[j] = (PCK[j] * count[j] + acc_pck[j]) / (count[j] + 1)
-                        PCKh[j] = (PCKh[j] * count[j] + acc_pckh[j]) / (count[j] + 1)
-                        count[j] += 1
-                frame_idx += 1
+        # one sync point: three device->host fetches for the whole epoch
+        preds = np.asarray(jnp.concatenate([p for p, _, _ in pending]))
+        tgts = np.asarray(jnp.concatenate([t for _, t, _ in pending]))
+        val_loss = float(jnp.sum(jnp.stack([l for _, _, l in pending])))
 
-            mAP = AP[1:].sum() / k
-            mPCK = PCK[1:].sum() / k
-            mPCKh = PCKh[1:].sum() / k
+        hm = self.spec.heatmap_size
+        frames = []  # per-frame (pred (K+1,2), target (K+1,2)), dataset order
+        for bi, n_valid in enumerate(valids):
+            for s in range(n_valid):
+                i = bi * pad_to + s
+                if self.video:
+                    frames.extend(
+                        (preds[i, j], tgts[i, j]) for j in range(preds.shape[1])
+                    )
+                else:
+                    frames.append((preds[i], tgts[i]))
+
+        for frame_idx, (p, t) in enumerate(frames):
+            acc, acc_pck, acc_pckh, _, _, visible = accuracy_from_coords(
+                p[None], t[None], hm, hm, 0.2, 0.5, self.model_config.dataset
+            )
+            # running means, visibility-gated per joint (unipose.py:163-176)
+            AP[0] = (AP[0] * frame_idx + acc[0]) / (frame_idx + 1)
+            PCK[0] = (PCK[0] * frame_idx + acc_pck[0]) / (frame_idx + 1)
+            PCKh[0] = (PCKh[0] * frame_idx + acc_pckh[0]) / (frame_idx + 1)
+            for j in range(1, k + 1):
+                if visible[j] == 1:
+                    AP[j] = (AP[j] * count[j] + acc[j]) / (count[j] + 1)
+                    PCK[j] = (PCK[j] * count[j] + acc_pck[j]) / (count[j] + 1)
+                    PCKh[j] = (PCKh[j] * count[j] + acc_pckh[j]) / (count[j] + 1)
+                    count[j] += 1
+
+        mAP = AP[1:].sum() / k
+        mPCK = PCK[1:].sum() / k
+        mPCKh = PCKh[1:].sum() / k
 
         print_accuracies(mAP, AP, mPCKh, PCKh, mPCK, PCK, self.model_config.dataset)
 
