@@ -150,7 +150,7 @@ def test_penn_dataset(penn_root):
 def bbc_root(tmp_path):
     root = tmp_path / "bbc"
     rng = np.random.RandomState(4)
-    for split, vids in (("train", (1, 2)), ("val", (11,))):
+    for split, vids in (("train", (1, 2)), ("val", (11,)), ("test", (16,))):
         for vid in vids:
             nf = 6
             frames = np.arange(1, nf + 1, dtype=np.float64)
@@ -365,3 +365,70 @@ def test_get_dataloader_ntid(ntid_root):
     assert tb["kpts"].shape == (2, 19, 3)
     assert next(iter(val))["image"].shape == (1, 368, 368, 3)
     assert next(iter(test))["image"].shape == (1, 368, 368, 3)
+
+
+# ---------------------------------------------------------------------------
+# Native C++ eval-loader parity: the factory's use_native path must produce
+# batches IDENTICAL to the Python PrefetchLoader path (round-3 wiring of the
+# decode core into production eval splits).
+# ---------------------------------------------------------------------------
+
+from unipose_tpu import native  # noqa: E402
+
+needs_native = pytest.mark.skipif(
+    not native.available(), reason="native decode core unavailable"
+)
+
+
+def _assert_batches_equal(native_loader, python_loader):
+    nb, pb = list(native_loader), list(python_loader)
+    assert len(nb) == len(pb) and len(nb) > 0
+    for a, b in zip(nb, pb):
+        assert set(a) == set(b)
+        for k in sorted(a):
+            if isinstance(a[k], np.ndarray):
+                assert a[k].dtype == b[k].dtype, k
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+            else:
+                assert a[k] == b[k], k
+
+
+@needs_native
+def test_native_lsp_val_loader_parity(lsp_root):
+    mk = lambda un: get_dataloader(  # noqa: E731
+        "LSP", None, lsp_root, 3.0, 8, workers=2, batch_size=2,
+        val_batch_size=3, use_native=un,
+    )[1]
+    nat, py = mk(True), mk(False)
+    from unipose_tpu.data.native_loader import _NativeBatches
+
+    assert isinstance(nat, _NativeBatches)  # wiring actually routed native
+    assert nat.batch_size == 3  # trainer padding reads this
+    _assert_batches_equal(nat, py)  # 4 samples -> full batch + ragged tail
+
+
+@needs_native
+def test_native_mpii_val_loader_parity(mpii_root):
+    root = mpii_root + "/"
+    mk = lambda un: get_dataloader(  # noqa: E731
+        "MPII", None, root, 3.0, 8, workers=2, batch_size=2,
+        test_dir=root, val_batch_size=2, use_native=un,
+    )
+    _, nval, ntest = mk(True)
+    _, pval, ptest = mk(False)
+    _assert_batches_equal(nval, pval)
+    _assert_batches_equal(ntest, ptest)
+
+
+@needs_native
+def test_native_bbc_eval_loader_parity(bbc_root):
+    mk = lambda un: get_dataloader(  # noqa: E731
+        "BBC", None, bbc_root, 1.0, 8, workers=2, batch_size=1,
+        frame_memory=3, use_native=un,
+    )
+    _, nval, ntest = mk(True)
+    _, pval, ptest = mk(False)
+    _assert_batches_equal(nval, pval)  # Val: TestResized(368) (identity)
+    _assert_batches_equal(ntest, ptest)  # Test: no transform
+    b = next(iter(nval))
+    assert b["frames"].shape == (1, 3, 368, 368, 3)

@@ -83,6 +83,37 @@ def test_trainer_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_trainer_validation_native_loader(tmp_path):
+    """A full val epoch through the C++ decode loader (round-3 wiring of the
+    native core into production eval): Trainer.validation consumes native
+    batches — including the padded ragged tail — and produces the same mAP
+    as the Python loader path."""
+    from unipose_tpu import native
+
+    if not native.available():
+        pytest.skip("native decode core unavailable")
+    from unipose_tpu.data.native_loader import native_lsp_val_loader
+    from unipose_tpu.train.trainer import Trainer
+
+    val_root = make_lsp_root(tmp_path, "lsp_nat", "lsp", 3)
+    spec = dataclasses.replace(DATASETS["LSP"], input_size=SIZE)
+    val_ds = LSPDataset("lsp", val_root, 3.0, 8, T.Compose([]), input_size=SIZE)
+    nat = native_lsp_val_loader(val_ds, 2)  # 3 samples: full batch + ragged tail
+    py = PrefetchLoader(val_ds, 2, shuffle=False, num_workers=1, drop_last=False)
+
+    trainer = Trainer(
+        ModelConfig(dataset="LSP", num_classes=14),
+        TrainConfig(batch_size=2, model_name=str(tmp_path / "unipose")),
+        spec=spec,
+        loaders=(None, nat),
+    )
+    mAP_nat = trainer.validation(0)
+    trainer.val_loader = py
+    mAP_py = trainer.validation(0)
+    assert mAP_nat == pytest.approx(mAP_py, abs=0)
+
+
+@pytest.mark.slow
 def test_trainer_logger_and_summary(tmp_path, capsys):
     """TSV logging + param summary through the Trainer surface (reuses the
     synthetic fixtures; model compiles are cached by jit within the run)."""

@@ -101,6 +101,7 @@ def get_dataloader(
     frame_memory: Optional[int] = None,
     seed: int = 0,
     val_batch_size: int = 1,
+    use_native: Optional[bool] = None,
 ):
     """Dataset wiring mirroring the reference factory
     (utils/utils.py:231-351):
@@ -125,6 +126,13 @@ def get_dataloader(
     ``val_batch_size`` (default 1 = the reference's val loader shape) batches
     the val/test forward for throughput; metric semantics are per-frame
     either way (train/trainer.py validation).
+
+    ``use_native`` — route the no-augmentation eval splits (LSP val,
+    MPII val/test, BBC val/test) through the C++ decode core
+    (data/native_loader.py), which produces batches identical to the Python
+    path (pinned by tests) with zero per-sample Python work.  ``None`` =
+    auto (on when the native lib builds/loads); augmented train paths always
+    keep the Python transforms.
     """
     from unipose_tpu.data.bbc import BBCDataset
     from unipose_tpu.data.lsp import LSPDataset
@@ -132,6 +140,27 @@ def get_dataloader(
     from unipose_tpu.data.ntid import NTIDDataset
     from unipose_tpu.data.penn_action import PennActionDataset
     from unipose_tpu.data.posetrack import PoseTrackDataset
+
+    if use_native is None or use_native:
+        from unipose_tpu import native
+
+        native_ok = native.available()
+        if use_native and not native_ok:
+            raise RuntimeError(
+                "use_native=True but the native decode core is unavailable"
+            )
+    else:
+        native_ok = False
+
+    def eval_loader(ds, native_builder=None):
+        """No-augmentation eval split: native C++ decode path when available
+        (batch-identical to the Python path), PrefetchLoader otherwise."""
+        if native_ok and native_builder is not None:
+            return native_builder(ds, val_batch_size)
+        return PrefetchLoader(
+            ds, val_batch_size, shuffle=False, num_workers=workers,
+            drop_last=False,
+        )
 
     train_loader = val_loader = test_loader = None
 
@@ -145,11 +174,13 @@ def get_dataloader(
                 batch_size, shuffle=True, num_workers=workers, seed=seed,
             )
         if val_dir:
-            val_loader = PrefetchLoader(
+            from unipose_tpu.data.native_loader import native_lsp_val_loader
+
+            val_loader = eval_loader(
                 LSPDataset(
                     "lsp", val_dir, sigma, stride, T.Compose([T.TestResized(368)])
                 ),
-                val_batch_size, shuffle=False, num_workers=workers, drop_last=False,
+                native_lsp_val_loader,
             )
     elif dataset == "MPII":
         if train_dir:
@@ -158,14 +189,18 @@ def get_dataloader(
                 batch_size, shuffle=True, num_workers=workers, seed=seed,
             )
         if val_dir:
-            val_loader = PrefetchLoader(
+            from unipose_tpu.data.native_loader import native_mpii_val_loader
+
+            val_loader = eval_loader(
                 MPIIDataset(val_dir, sigma, "Val", T.Compose([T.TestResized(368)])),
-                val_batch_size, shuffle=False, num_workers=workers, drop_last=False,
+                native_mpii_val_loader,
             )
         if test_dir:
-            test_loader = PrefetchLoader(
+            from unipose_tpu.data.native_loader import native_mpii_val_loader
+
+            test_loader = eval_loader(
                 MPIIDataset(test_dir, sigma, "Val", T.Compose([T.TestResized(368)])),
-                val_batch_size, shuffle=False, num_workers=workers, drop_last=False,
+                native_mpii_val_loader,
             )
     elif dataset == "Penn_Action":
         T_mem = frame_memory or batch_size  # reference quirk (:286)
@@ -233,16 +268,18 @@ def get_dataloader(
                 batch_size, shuffle=True, num_workers=workers, seed=seed,
             )
         if val_dir:
-            val_loader = PrefetchLoader(
+            from unipose_tpu.data.native_loader import native_bbc_eval_loader
+
+            val_loader = eval_loader(
                 BBCDataset(
                     val_dir, sigma, "Val", T.Compose([T.TestResized(368)]),
                     seq_len=T_mem,
                 ),
-                val_batch_size, shuffle=False, num_workers=workers, drop_last=False,
+                native_bbc_eval_loader,
             )
-            test_loader = PrefetchLoader(
+            test_loader = eval_loader(
                 BBCDataset(val_dir, sigma, "Test", seq_len=T_mem),
-                val_batch_size, shuffle=False, num_workers=workers, drop_last=False,
+                native_bbc_eval_loader,
             )
     else:
         raise ValueError(f"unknown dataset {dataset!r}")

@@ -84,3 +84,179 @@ class NativeImageLoader:
                 if i + 1 < n_batches:
                     fut = pool.submit(self._decode, starts[i + 1])
                 yield batch
+
+
+# ---------------------------------------------------------------------------
+# Factory-facing native val/eval loaders.
+#
+# Each produces batches *identical* to ``PrefetchLoader(<python dataset>)``
+# for the no-augmentation eval splits (pinned by tests/test_datasets.py
+# native-parity tests), reusing the Python dataset object for its parsed
+# annotations and replacing the per-sample cv2/numpy image path with one
+# C++ decode_batch call per batch.  Augmented training paths keep the Python
+# transforms (joint-aware geometry needs per-sample logic).
+# ---------------------------------------------------------------------------
+
+
+class _NativeBatches:
+    """Sequential, double-buffered batches assembled by ``build(start, stop)``.
+
+    Quacks like the eval-side PrefetchLoader (len / iter / batch_size /
+    set_epoch), minus shuffling — eval order is deterministic.
+    """
+
+    def __init__(self, n_samples: int, batch_size: int, build):
+        self.n_samples = int(n_samples)
+        self.batch_size = int(batch_size)
+        self._build = build
+
+    def __len__(self) -> int:
+        return -(-self.n_samples // self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        pass
+
+    def __iter__(self):
+        n_batches = len(self)
+        if not n_batches:
+            return
+        spans = [
+            (i * self.batch_size, min((i + 1) * self.batch_size, self.n_samples))
+            for i in range(n_batches)
+        ]
+        with cf.ThreadPoolExecutor(1) as pool:
+            fut = pool.submit(self._build, *spans[0])
+            for i in range(n_batches):
+                batch = fut.result()
+                if i + 1 < n_batches:
+                    fut = pool.submit(self._build, *spans[i + 1])
+                yield batch
+
+
+def native_lsp_val_loader(ds, batch_size: int, *, n_threads: int = 0):
+    """LSP val through the C++ core.  The Python path is imread ->
+    resize(368, INTER_LINEAR) -> TestResized(368) (identity at 368) with
+    keypoints left at original-image scale (the reference's no-rescale quirk,
+    lsp_lspet_data.py:211-218) — exactly one native decode+resize, metadata
+    sliced from the dataset's parsed ``joints.mat`` arrays."""
+    size = ds.input_size
+    paths = ds.img_list
+    kpts = np.asarray(ds.kpt_list, np.float32)
+    centers = np.asarray(ds.center_list, np.float32)
+    scales = np.asarray(ds.scale_list, np.float32)
+
+    def build(start: int, stop: int):
+        batch_paths = paths[start:stop]
+        images, _ = native.decode_batch(batch_paths, size, n_threads=n_threads)
+        return {
+            "image": images,
+            "kpts": kpts[start:stop].copy(),
+            "center": centers[start:stop].copy(),
+            "scale": scales[start:stop].copy(),
+            "path": list(batch_paths),
+        }
+
+    return _NativeBatches(len(paths), batch_size, build)
+
+
+def native_mpii_val_loader(ds, batch_size: int, *, n_threads: int = 0):
+    """MPII val/test through the C++ core.  Replicates the Python path
+    (data/mpii.py): missing-label back-walk resolved once up front, center
+    y+15*scale & scale*1.25, keypoints rescaled by 368/original-dims (the
+    decoder reports dims), center NOT rescaled (reference quirk,
+    mpii_data.py:159-162 rescales only kpts)."""
+    import os
+
+    paths, kpts, centers, scales = [], [], [], []
+    for i in range(len(ds)):
+        j = i
+        variable = ds.anno[ds.img_list[j]]
+        while not ds._label_exists(variable):
+            j -= 1
+            variable = ds.anno[ds.img_list[j]]
+        paths.append(os.path.join(ds.images_dir, variable["img_paths"]))
+        kpts.append(np.asarray(variable["joint_self"], np.float32))
+        center = np.asarray(variable["objpos"], np.float32)
+        scale = float(variable["scale_provided"])
+        if center[0] != -1:
+            center[1] = center[1] + 15 * scale
+            scale = scale * 1.25
+        centers.append(center)
+        scales.append(scale)
+    kpts = np.asarray(kpts, np.float32)
+    centers = np.asarray(centers, np.float32)
+    scales = np.asarray(scales, np.float32)
+
+    def build(start: int, stop: int):
+        batch_paths = paths[start:stop]
+        images, _, dims = native.decode_batch(
+            batch_paths, 368, n_threads=n_threads, return_dims=True
+        )
+        kp = kpts[start:stop].copy()
+        ratio = np.where(dims > 0, 368.0 / np.maximum(dims, 1), 1.0)  # (B, 2) rows, cols
+        kp[:, :, 0] *= ratio[:, None, 1].astype(np.float32)
+        kp[:, :, 1] *= ratio[:, None, 0].astype(np.float32)
+        return {
+            "image": images,
+            "kpts": kp,
+            "center": centers[start:stop].copy(),
+            "scale": scales[start:stop].copy(),
+            "path": list(batch_paths),
+        }
+
+    return _NativeBatches(len(paths), batch_size, build)
+
+
+def native_bbc_eval_loader(ds, batch_size: int, *, n_threads: int = 0):
+    """BBC val/test through the C++ core: bottom-right 368 crop in the
+    decoder (bbc_data.py:169 semantics), keypoints shifted by the crop
+    offset and clamped at 0 (:168-174,:193), fixed center (184,184),
+    previous-frame fallback (:162-165), grouped into the dataset's
+    ``seq_len`` LSTM windows.  Matches BBCDataset with TestResized(368)
+    (identity on the 368 crop) or no transform."""
+    T = ds.seq_len
+    windows = ds.windows
+    paths = ds.img_list
+    kps = np.asarray(ds.kps, np.float64)  # shift in f64 like the Python path
+
+    def build(start: int, stop: int):
+        idxs = [windows[w] + t for w in range(start, stop) for t in range(T)]
+        batch_paths = [paths[i] for i in idxs]
+        images, statuses, dims = native.decode_batch(
+            batch_paths, 368, bottom_right=368, n_threads=n_threads,
+            return_dims=True,
+        )
+        for i in np.nonzero(statuses)[0]:
+            if idxs[i] > 0:  # previous-frame fallback
+                prev, _, pdims = native.decode_batch(
+                    [paths[idxs[i] - 1]], 368, bottom_right=368,
+                    return_dims=True,
+                )
+                images[i] = prev[0]
+                dims[i] = pdims[0]
+        kp = kps[idxs].copy()  # (N, 7, 2) original coords, f64
+        kp[:, :, 0] -= dims[:, None, 1] - 368
+        kp[:, :, 1] -= dims[:, None, 0] - 368
+        kp[kp < 0] = 0
+        kp = np.concatenate(
+            [kp, np.ones_like(kp[..., :1])], axis=-1
+        ).astype(np.float32)
+        centers = np.full((len(idxs), 2), 184.0, np.float32)
+        b = stop - start
+        if T == 1:
+            return {
+                "image": images,
+                "kpts": kp,
+                "center": centers,
+                "scale": np.ones(b, np.float32),
+                "path": batch_paths,
+            }
+        hw = images.shape[1:]
+        return {
+            "frames": images.reshape(b, T, *hw),
+            "kpts": kp.reshape(b, T, ds.num_joints, 3),
+            "centers": centers.reshape(b, T, 2),
+            "paths": [batch_paths[i * T : (i + 1) * T] for i in range(b)],
+        }
+
+    return _NativeBatches(len(windows), batch_size, build)

@@ -59,6 +59,7 @@ def _load():
             ctypes.POINTER(ctypes.c_int),
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
             ctypes.c_int,
         ]
         _lib = lib
@@ -77,6 +78,7 @@ def decode_batch(
     bottom_right: int = 0,
     out: Optional[np.ndarray] = None,
     n_threads: int = 0,
+    return_dims: bool = False,
 ):
     """Decode ``paths`` into (N, size, size, 3) f32 BGR (0..255).
 
@@ -84,8 +86,11 @@ def decode_batch(
     bottom_right: >0 applies the BBC bottom-right square crop
       (bbc_data.py:169) before resizing.
     out: optional preallocated output (reused across batches).
-    Returns (batch, statuses) where statuses[i] != 0 marks an unreadable file
-    (its slot is zero-filled — callers may apply previous-frame fallback).
+    return_dims: also return the original (rows, cols) per image as
+      (N, 2) int32 — what keypoint rescaling needs (0 on failure).
+    Returns (batch, statuses[, dims]) where statuses[i] != 0 marks an
+    unreadable file (its slot is zero-filled — callers may apply
+    previous-frame fallback).
     """
     lib = _load()
     if lib is None:
@@ -102,6 +107,7 @@ def decode_batch(
         crops_ptr = crops.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
     if n_threads <= 0:
         n_threads = min(os.cpu_count() or 4, 16)
+    dims = np.zeros((n, 2), np.int32) if return_dims else None
     lib.unipose_decode_batch(
         c_paths,
         n,
@@ -110,6 +116,9 @@ def decode_batch(
         crops_ptr,
         bottom_right,
         statuses.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)) if dims is not None else None,
         n_threads,
     )
+    if return_dims:
+        return out, statuses, dims
     return out, statuses

@@ -29,6 +29,7 @@ struct Job {
   // bottom_right_368: emulate BBC's img[-368:, -368:] crop when >0
   int bottom_right;
   int status;  // 0 ok, 1 read failure (buffer zero-filled)
+  int rows, cols;  // original (pre-crop/resize) image dims; 0 on failure
 };
 
 void run_job(Job& j) {
@@ -36,8 +37,11 @@ void run_job(Job& j) {
   if (img.empty()) {
     std::memset(j.out, 0, sizeof(float) * 3 * j.size * j.size);
     j.status = 1;
+    j.rows = j.cols = 0;
     return;
   }
+  j.rows = img.rows;
+  j.cols = img.cols;
   if (j.bottom_right > 0 && img.rows >= j.bottom_right &&
       img.cols >= j.bottom_right) {
     img = img(cv::Rect(img.cols - j.bottom_right, img.rows - j.bottom_right,
@@ -48,7 +52,11 @@ void run_job(Job& j) {
     img = img(r);
   }
   cv::Mat resized;
-  cv::resize(img, resized, cv::Size(j.size, j.size));
+  if (img.rows == j.size && img.cols == j.size) {
+    resized = img;  // already target-sized (e.g. the BBC 368 crop): bit-exact
+  } else {
+    cv::resize(img, resized, cv::Size(j.size, j.size));
+  }
   cv::Mat out(j.size, j.size, CV_32FC3, j.out);
   resized.convertTo(out, CV_32FC3);
   j.status = 0;
@@ -62,10 +70,13 @@ extern "C" {
 // crops: nullptr or n*4 ints (x0,y0,w,h; x0=-1 disables).
 // bottom_right: >0 applies the BBC-style bottom-right square crop.
 // statuses: nullptr or n ints (0 ok / 1 unreadable).
+// dims: nullptr or n*2 ints filled with the original (rows, cols) —
+//   callers rescale keypoints from original-image coordinates without a
+//   second header read.
 // Returns number of failures.
 int unipose_decode_batch(const char** paths, int n, int size, float* out,
                          const int* crops, int bottom_right, int* statuses,
-                         int n_threads) {
+                         int* dims, int n_threads) {
   std::vector<Job> jobs(n);
   for (int i = 0; i < n; ++i) {
     Job& j = jobs[i];
@@ -103,6 +114,10 @@ int unipose_decode_batch(const char** paths, int n, int size, float* out,
   int failures = 0;
   for (int i = 0; i < n; ++i) {
     if (statuses) statuses[i] = jobs[i].status;
+    if (dims) {
+      dims[i * 2 + 0] = jobs[i].rows;
+      dims[i * 2 + 1] = jobs[i].cols;
+    }
     failures += jobs[i].status;
   }
   return failures;
