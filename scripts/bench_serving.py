@@ -35,6 +35,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=368)
     p.add_argument("--iters", type=int, default=50)
+    p.add_argument(
+        "--batches", default="",
+        help="comma-separated extra batch sizes to sweep (micro-batched "
+        "serving latency, e.g. 2,4,8); each is its own exported artifact",
+    )
     args = p.parse_args()
 
     from unipose_tpu.compat.export import export_inference, load_inference
@@ -64,6 +69,26 @@ def main():
     t_art = chained_timer(art_step, args.iters)
     t_live = chained_timer(live_step, args.iters)
 
+    # micro-batched serving (cli/serve.py MicroBatcher groups concurrent
+    # requests up to the artifact's baked batch): latency per CALL at batch N
+    sweep = {}
+    for b in [int(v) for v in args.batches.split(",") if v]:
+        blob_b = export_inference(model, variables, (b, size, size, 3))
+        call_b = load_inference(blob_b)
+        xb = jax.device_put(
+            np.random.RandomState(b).rand(b, size, size, 3).astype(np.float32)
+        )
+
+        def step_b(carry):
+            out = call_b(xb + carry * 0.0)
+            return out.astype(jnp.float32).sum()
+
+        t_b = chained_timer(step_b, args.iters)
+        sweep[str(b)] = {
+            "ms_per_call": round(t_b * 1e3, 3),
+            "ms_per_frame": round(t_b * 1e3 / b, 3),
+        }
+
     print(
         json.dumps(
             {
@@ -73,6 +98,7 @@ def main():
                 "live_jit_ms": round(t_live * 1e3, 3),
                 "artifact_bytes": len(blob),
                 "input": [1, size, size, 3],
+                "batch_sweep": sweep,
                 "device": str(jax.devices()[0].device_kind),
             }
         )

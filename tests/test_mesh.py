@@ -5,8 +5,12 @@ critical contract is testable: multi-host presence must be decided from the
 launcher env WITHOUT touching the backend first — calling
 ``jax.process_count()`` before ``jax.distributed.initialize()`` would
 initialize the local backend and defeat real multi-host bring-up
-(the reference has no distributed code at all; SURVEY §2.2).
+(the reference has no distributed code at all; SURVEY §2.2).  The
+two-process smoke test at the bottom then EXECUTES the bring-up for real on
+the CPU backend (a coordinator, two OS processes, a cross-host collective).
 """
+
+import os
 
 import jax
 import numpy as np
@@ -107,3 +111,68 @@ def test_shard_batch_passes_nonarrays_through(eight_devices):
     out = mesh_mod.shard_batch(batch, m)
     assert out["paths"] == ["a"] * 8
     assert out["x"].sharding.spec[0] == "data"
+
+
+@pytest.mark.slow
+def test_two_process_distributed_smoke(tmp_path):
+    """Executed (not mocked) multi-host bring-up: two OS processes, a real
+    coordinator, maybe_init_distributed in each, and a cross-host collective
+    (process_allgather) whose result proves both hosts joined one program.
+    Upgrades the env-contract tests above from 'mocked' to 'run'."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = """
+import os, sys
+sys.path.insert(0, os.getcwd())
+from unipose_tpu.utils.platform import force_cpu_platform
+force_cpu_platform(1)
+from unipose_tpu.parallel.mesh import maybe_init_distributed, make_mesh
+maybe_init_distributed()
+import jax
+import jax.numpy as jnp
+assert jax.process_count() == 2, jax.process_count()
+from jax.experimental import multihost_utils
+got = multihost_utils.process_allgather(
+    jnp.array([float(jax.process_index()) + 1.0])
+)
+assert float(got.sum()) == 3.0, got
+mesh = make_mesh((-1,), ("data",))
+assert mesh.devices.size == 2, mesh
+print("SMOKE_OK", jax.process_index(), float(got.sum()), flush=True)
+"""
+    env_base = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("JAX_COORDINATOR", "COORDINATOR", "MEGASCALE"))
+    }
+    procs = []
+    for pid in range(2):
+        env = dict(
+            env_base,
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", worker],
+                env=env,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=180)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"SMOKE_OK {pid} 3.0" in out, out

@@ -22,6 +22,22 @@ from unipose_tpu.models.unipose import build_model  # noqa: E402
 SIZE = 64
 
 
+def make_ns(artifact, **over):
+    """Args namespace with serve defaults; geometry must be DERIVED from the
+    artifact's avals — flags left at defaults (and --size deliberately
+    wrong) must not break /predict."""
+    ns = type("A", (), {})()
+    ns.artifact = artifact
+    ns.num_joints = None
+    ns.size = 368
+    ns.host = "127.0.0.1"
+    ns.port = 0  # ephemeral
+    ns.batch_wait_ms = 2.0
+    for k, v in over.items():
+        setattr(ns, k, v)
+    return ns
+
+
 @pytest.fixture(scope="module")
 def artifact_path(tmp_path_factory):
     mc = ModelConfig(dataset="LSP", num_classes=14)
@@ -35,15 +51,7 @@ def artifact_path(tmp_path_factory):
 
 
 def test_serve_predict(artifact_path):
-    ns = type("A", (), {})()
-    ns.artifact = artifact_path
-    # geometry must be DERIVED from the artifact's avals — flags left at
-    # defaults (and --size deliberately wrong) must not break /predict
-    ns.num_joints = None
-    ns.size = 368
-    ns.host = "127.0.0.1"
-    ns.port = 0  # ephemeral
-    server = serve_mod.make_server(ns)
+    server = serve_mod.make_server(make_ns(artifact_path))
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -81,5 +89,147 @@ def test_serve_predict(artifact_path):
         assert r.status == 400
         conn.request("GET", "/healthz")
         assert conn.getresponse().status == 200
+    finally:
+        server.shutdown()
+
+
+@pytest.fixture(scope="module")
+def batched_artifact_path(tmp_path_factory):
+    mc = ModelConfig(dataset="LSP", num_classes=14)
+    model = build_model(mc)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3))
+    )
+    path = tmp_path_factory.mktemp("serve_b4") / "model_b4.hlo"
+    export_inference(model, variables, (4, SIZE, SIZE, 3), path=str(path))
+    return str(path)
+
+
+def test_serve_micro_batching(batched_artifact_path):
+    """Concurrent /predict requests against a batch-4 artifact are grouped
+    into shared artifact calls (and a lone request still works via tail
+    padding)."""
+    server = serve_mod.make_server(
+        make_ns(batched_artifact_path, batch_wait_ms=20.0)
+    )
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["batch"] == 4 and health["kind"] == "image"
+
+        bodies = []
+        for seed in range(5):
+            img = np.random.RandomState(seed).randint(
+                0, 255, (70, 90, 3), np.uint8
+            )
+            ok, buf = cv2.imencode(".jpg", img)
+            assert ok
+            bodies.append(buf.tobytes())
+
+        results = [None] * 5
+
+        def post(i):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            c.request(
+                "POST", "/predict", body=bodies[i],
+                headers={"Content-Length": str(len(bodies[i]))},
+            )
+            r = c.getresponse()
+            results[i] = (r.status, json.loads(r.read()))
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for status, out in results[:4]:
+            assert status == 200, out
+            assert len(out["keypoints"]) == 14
+
+        post(4)  # a lone request (queue padded to the baked batch)
+        status, out = results[4]
+        assert status == 200 and len(out["keypoints"]) == 14
+    finally:
+        server.shutdown()
+
+
+@pytest.fixture(scope="module")
+def video_artifact_path(tmp_path_factory):
+    T_CLIP = 3
+    mc = ModelConfig(
+        dataset="Penn_Action", num_classes=13, variant="lstm",
+        frame_memory=T_CLIP,
+    )
+    model = build_model(mc)
+    variables = jax.jit(lambda k, f, c: model.init(k, f, c, train=False))(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, T_CLIP, SIZE, SIZE, 3)),
+        jnp.zeros((1, T_CLIP, SIZE, SIZE, 1)),
+    )
+    path = tmp_path_factory.mktemp("serve_video") / "video.hlo"
+    export_inference(
+        model, variables, (1, T_CLIP, SIZE, SIZE, 3), path=str(path), video=True
+    )
+    return str(path)
+
+
+def test_serve_video_clip(video_artifact_path):
+    """The video model family is servable: /predict_video takes a base64
+    JPEG clip, pads short clips to the artifact's clip length, and returns
+    per-real-frame keypoints in each frame's original pixel space."""
+    import base64
+
+    server = serve_mod.make_server(make_ns(video_artifact_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["kind"] == "video"
+        assert health["input"] == [1, 3, SIZE, SIZE, 3]
+        assert health["num_joints"] == 13
+
+        def clip_body(n_frames):
+            frames = []
+            for seed in range(n_frames):
+                img = np.random.RandomState(seed).randint(
+                    0, 255, (80, 100, 3), np.uint8
+                )
+                ok, buf = cv2.imencode(".jpg", img)
+                assert ok
+                frames.append(base64.b64encode(buf.tobytes()).decode())
+            return json.dumps({"frames": frames}).encode()
+
+        body = clip_body(2)  # shorter than clip length 3 -> padded
+        conn.request(
+            "POST", "/predict_video", body=body,
+            headers={"Content-Length": str(len(body))},
+        )
+        r = conn.getresponse()
+        out = json.loads(r.read())
+        assert r.status == 200, out
+        assert len(out["keypoints"]) == 2  # per REAL frame only
+        for frame_kpts in out["keypoints"]:
+            assert len(frame_kpts) == 13
+            for x, y in frame_kpts:
+                assert 0 <= x <= 100 and 0 <= y <= 80
+
+        body = clip_body(4)  # longer than the artifact clip -> clear 400
+        conn.request(
+            "POST", "/predict_video", body=body,
+            headers={"Content-Length": str(len(body))},
+        )
+        r = conn.getresponse()
+        out = json.loads(r.read())
+        assert r.status == 400 and "clip too long" in out["error"]
+
+        # image endpoint is absent on a video server
+        conn.request("POST", "/predict", body=b"x",
+                     headers={"Content-Length": "1"})
+        assert conn.getresponse().status == 404
     finally:
         server.shutdown()

@@ -1,4 +1,4 @@
-"""Minimal pose-estimation server over an exported StableHLO artifact.
+"""Pose-estimation server over exported StableHLO artifacts.
 
 The reference has no serving story at all (SURVEY §1); its closest analogue
 is the per-image demo loop (Reference: unipose.py:197-246).  This is the
@@ -6,10 +6,22 @@ deployment-shaped version: a self-contained artifact (weights baked in,
 ``compat/export.py``) served over HTTP with the stdlib only — no framework
 dependencies, so it runs anywhere a JAX runtime does.
 
+Both model families are servable:
+  * image artifacts ((B, H, W, 3) input): ``/predict``, with request
+    micro-batching — concurrent requests are grouped into one artifact call
+    up to the artifact's baked batch size (export with ``--batch N``);
+  * video artifacts ((B, T, H, W, 3) + centermap inputs): ``/predict_video``
+    takes a JSON clip of base64 JPEG frames, short clips are padded by
+    repeating the last frame.  (For arbitrarily long videos use the
+    streaming chunk step, eval/video.py::make_stream_step — that requires
+    the Python model, not an artifact.)
+
 Endpoints:
-  GET  /healthz           -> {"status": "ok", "input": [...], ...}
-  POST /predict           body = JPEG/PNG bytes
-                          -> {"keypoints": [[x, y], ...K], "ms": float}
+  GET  /healthz        -> {"status": "ok", "kind": "image"|"video", ...}
+  POST /predict        body = JPEG/PNG bytes
+                       -> {"keypoints": [[x, y], ...K], "ms": float}
+  POST /predict_video  body = {"frames": ["<b64 jpeg>", ...]}
+                       -> {"keypoints": [[[x, y], ...K], ...T'], "ms": float}
      keypoints are argmax coords in input-image pixels (the demo path's
      get_kpts semantics: heatmap argmax scaled back to image resolution).
 
@@ -22,38 +34,97 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import base64
 import json
+import threading
 import time
 
+import numpy as np
 
-def build_handler(call, size: int, num_joints: int, meta: dict):
-    """HTTP handler factory around the loaded artifact ``call``."""
+
+class MicroBatcher:
+    """Group concurrent single-image requests into one artifact call.
+
+    The artifact's batch dimension is static; a dispatcher thread drains up
+    to ``batch`` queued requests per call (waiting ``wait_ms`` for
+    stragglers once at least one request is pending), pads the tail slot-
+    repeating, and fans results back out.  With batch 1 it degenerates to a
+    FIFO that serializes device access — still correct, no waiting.
+    """
+
+    def __init__(self, call, batch: int, wait_ms: float = 2.0):
+        self.call = call
+        self.batch = int(batch)
+        self.wait = (wait_ms / 1e3) if self.batch > 1 else 0.0
+        self._cv = threading.Condition()
+        self._queue = []
+        threading.Thread(target=self._run, daemon=True).start()
+
+    def infer(self, x: np.ndarray) -> np.ndarray:
+        """x: one (H, W, 3) preprocessed image -> its (h, w, K+1) heatmaps."""
+        item = {"x": x, "done": threading.Event(), "out": None, "err": None}
+        with self._cv:
+            self._queue.append(item)
+            self._cv.notify()
+        item["done"].wait()
+        if item["err"] is not None:
+            raise item["err"]
+        return item["out"]
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+                if self.wait:  # let concurrent requests join until deadline
+                    deadline = time.monotonic() + self.wait
+                    while len(self._queue) < self.batch:
+                        remaining = deadline - time.monotonic()
+                        if remaining <= 0:
+                            break
+                        self._cv.wait(remaining)
+                items = self._queue[: self.batch]
+                del self._queue[: self.batch]
+            xs = np.stack([it["x"] for it in items])
+            if len(items) < self.batch:  # pad the static batch dim
+                pad = np.repeat(xs[-1:], self.batch - len(items), axis=0)
+                xs = np.concatenate([xs, pad])
+            try:
+                heat = np.asarray(self.call(xs))
+                for i, it in enumerate(items):
+                    it["out"] = heat[i]
+            except Exception as e:  # noqa: BLE001 — fan the error out
+                for it in items:
+                    it["err"] = e
+            for it in items:
+                it["done"].set()
+
+
+def _argmax_kpts(heat: np.ndarray, num_joints: int, w0: int, h0: int):
+    """Per-channel argmax (channel 0 = background) scaled to original
+    pixels — the demo path's get_kpts semantics (utils/utils.py:94-106)."""
+    hh, ww = heat.shape[:2]
+    kpts = []
+    for k in range(1, num_joints + 1):
+        idx = int(np.argmax(heat[..., k]))
+        y, x = divmod(idx, ww)
+        kpts.append([round(x * w0 / ww, 2), round(y * h0 / hh, 2)])
+    return kpts
+
+
+def _centermaps(b: int, t: int, size: int) -> np.ndarray:
+    """(B, T, H, W, 1) sigma-3 Gaussian at the frame center — the video
+    pipeline's centermap (train/steps.py::make_centermaps semantics with
+    center = image center)."""
+    ys, xs = np.mgrid[:size, :size].astype(np.float32)
+    c = (size - 1) / 2.0
+    g = np.exp(-((xs - c) ** 2 + (ys - c) ** 2) / (2.0 * 3.0**2))
+    return np.broadcast_to(g[None, None, :, :, None], (b, t, size, size, 1)).copy()
+
+
+def build_handler(predict_routes: dict, meta: dict):
+    """HTTP handler factory; ``predict_routes`` maps path -> fn(body)->dict."""
     import http.server
-
-    import cv2
-    import numpy as np
-
-    from unipose_tpu.train.steps import preprocess_images
-
-    def predict(body: bytes):
-        img = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_COLOR)
-        if img is None:
-            raise ValueError("request body is not a decodable image")
-        h0, w0 = img.shape[:2]
-        img368 = cv2.resize(img, (size, size)).astype(np.float32)
-        t0 = time.perf_counter()
-        heat = np.asarray(call(preprocess_images(img368[None])))[0]
-        dt = (time.perf_counter() - t0) * 1e3
-        # channel-last heatmaps; channel 0 is background -> joints 1..K
-        hh, ww = heat.shape[:2]
-        kpts = []
-        for k in range(1, num_joints + 1):
-            idx = int(np.argmax(heat[..., k]))
-            y, x = divmod(idx, ww)
-            kpts.append(
-                [round(x * w0 / ww, 2), round(y * h0 / hh, 2)]
-            )
-        return {"keypoints": kpts, "ms": round(dt, 2)}
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
@@ -71,13 +142,13 @@ def build_handler(call, size: int, num_joints: int, meta: dict):
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/predict":
+            fn = predict_routes.get(self.path)
+            if fn is None:
                 self._send(404, {"error": "unknown path"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                result = predict(self.rfile.read(n))
-                self._send(200, result)
+                self._send(200, fn(self.rfile.read(n)))
             except Exception as e:  # noqa: BLE001 — surface as 400
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -87,13 +158,24 @@ def build_handler(call, size: int, num_joints: int, meta: dict):
     return Handler
 
 
+def _decode_image(buf: bytes):
+    import cv2
+
+    img = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError("body is not a decodable image")
+    return img
+
+
 def make_server(args):
     """Build the HTTPServer (separated from main for tests)."""
     import http.server
 
+    import cv2
     import jax.numpy as jnp
 
     from unipose_tpu.compat.export import load_exported
+    from unipose_tpu.train.steps import preprocess_images
 
     size = args.size
     if args.artifact:
@@ -128,19 +210,20 @@ def make_server(args):
 
     exported = load_exported(blob)
     call = exported.call
-    if len(exported.in_avals) != 1 or exported.in_avals[0].ndim != 4:
+    in_avals = exported.in_avals
+    video = len(in_avals) == 2 and in_avals[0].ndim == 5
+    if not video and (len(in_avals) != 1 or in_avals[0].ndim != 4):
         raise SystemExit(
-            "serve expects an image artifact with one (B, H, W, 3) input; "
-            f"got {len(exported.in_avals)} input(s) "
-            f"{[tuple(a.shape) for a in exported.in_avals]} — video artifacts "
-            "are not servable by this endpoint"
+            "serve expects an image artifact with one (B, H, W, 3) input or "
+            "a video artifact with (B, T, H, W, 3) + centermap inputs; got "
+            f"{len(in_avals)} input(s) {[tuple(a.shape) for a in in_avals]}"
         )
-    # The artifact is the source of truth for geometry: (1, H, W, 3) input,
-    # (1, h, w, K+1) heatmaps (channel 0 is background).  Flags can't lie
+    # The artifact is the source of truth for geometry: flags can't lie
     # about an artifact's shapes — a mismatched --size would turn every
     # /predict into an opaque 400.
-    in_shape = tuple(exported.in_avals[0].shape)  # (B, H, W, 3), guarded above
-    size = int(in_shape[1])
+    in_shape = tuple(in_avals[0].shape)
+    baked_batch = int(in_shape[0])
+    size = int(in_shape[2] if video else in_shape[1])
     derived_joints = int(exported.out_avals[0].shape[-1]) - 1
     if num_joints is None:
         num_joints = derived_joints
@@ -150,12 +233,71 @@ def make_server(args):
             f"{derived_joints} joint channels — every /predict would fail; "
             "drop the flag to derive the count from the artifact"
         )
+
+    routes = {}
+    if video:
+        clip_t = int(in_shape[1])
+
+        def predict_video(body: bytes):
+            req = json.loads(body)
+            frames_b64 = req.get("frames")
+            if not isinstance(frames_b64, list) or not frames_b64:
+                raise ValueError('body must be {"frames": ["<b64 jpeg>", ...]}')
+            if len(frames_b64) > clip_t:
+                raise ValueError(
+                    f"clip too long: {len(frames_b64)} frames > artifact "
+                    f"clip length {clip_t} (stream long videos through "
+                    "eval/video.py::make_stream_step)"
+                )
+            imgs = [_decode_image(base64.b64decode(fb)) for fb in frames_b64]
+            dims = [(im.shape[1], im.shape[0]) for im in imgs]  # (w0, h0)
+            t_real = len(imgs)
+            frames = np.stack(
+                [cv2.resize(im, (size, size)).astype(np.float32) for im in imgs]
+            )
+            if t_real < clip_t:  # pad the static clip dim
+                pad = np.repeat(frames[-1:], clip_t - t_real, axis=0)
+                frames = np.concatenate([frames, pad])
+            clip = np.asarray(preprocess_images(frames))[None]
+            if baked_batch > 1:  # pad the static batch dim
+                clip = np.concatenate(
+                    [clip, np.repeat(clip[-1:], baked_batch - 1, axis=0)]
+                )
+            t0 = time.perf_counter()
+            heat = np.asarray(call(clip, _centermaps(baked_batch, clip_t, size)))
+            dt = (time.perf_counter() - t0) * 1e3
+            kpts = [
+                _argmax_kpts(heat[0, j], num_joints, *dims[j])
+                for j in range(t_real)
+            ]
+            return {"keypoints": kpts, "ms": round(dt, 2)}
+
+        routes["/predict_video"] = predict_video
+    else:
+        batcher = MicroBatcher(call, baked_batch, wait_ms=args.batch_wait_ms)
+
+        def predict(body: bytes):
+            img = _decode_image(body)
+            h0, w0 = img.shape[:2]
+            img368 = cv2.resize(img, (size, size)).astype(np.float32)
+            t0 = time.perf_counter()
+            heat = batcher.infer(np.asarray(preprocess_images(img368)))
+            dt = (time.perf_counter() - t0) * 1e3
+            return {
+                "keypoints": _argmax_kpts(heat, num_joints, w0, h0),
+                "ms": round(dt, 2),
+            }
+
+        routes["/predict"] = predict
+
     meta = {
+        "kind": "video" if video else "image",
         "input": list(in_shape),
         "num_joints": num_joints,
+        "batch": baked_batch,
         "artifact_bytes": len(blob),
     }
-    handler = build_handler(call, size, num_joints, meta)
+    handler = build_handler(routes, meta)
     return http.server.ThreadingHTTPServer((args.host, args.port), handler)
 
 
@@ -164,14 +306,19 @@ def main(argv=None):
     p.add_argument(
         "--artifact",
         default=None,
-        help="exported StableHLO path (input size / joint count are read "
-        "from the artifact itself)",
+        help="exported StableHLO path (input size / clip length / joint "
+        "count / batch are read from the artifact itself)",
     )
     p.add_argument("--num_joints", type=int, default=None)
     p.add_argument("--dataset", default="LSP")
     p.add_argument("--pretrained", default=None)
     p.add_argument(
         "--size", type=int, default=368, help="input size for in-process export"
+    )
+    p.add_argument(
+        "--batch_wait_ms", type=float, default=2.0,
+        help="micro-batching: wait this long for concurrent requests to "
+        "fill the artifact's baked batch",
     )
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8500)
