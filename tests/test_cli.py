@@ -82,3 +82,23 @@ def test_export_cli_from_checkpoint_dir(tmp_path):
         "--checkpoint_dir", str(tmp_path / "ckpt"),
     ])
     assert out.stat().st_size > 0
+
+
+def test_eval_missing_pretrained_fails_fast(tmp_path):
+    """The parity-runbook entry point (docs/ROADMAP.md) must fail before any
+    model build with a message pointing at the runbook when the checkpoint
+    artifact is absent."""
+    import pytest
+
+    from unipose_tpu.cli import eval as eval_cli
+
+    with pytest.raises(SystemExit) as exc:
+        eval_cli.main(
+            [
+                "--dataset", "LSP",
+                "--val_dir", str(tmp_path),
+                "--pretrained", str(tmp_path / "UniPose_LSP.tar"),
+            ]
+        )
+    msg = str(exc.value)
+    assert "not found" in msg and "runbook" in msg

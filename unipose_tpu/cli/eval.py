@@ -20,6 +20,21 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true")
     args = p.parse_args(argv)
 
+    # Fail fast and clearly before any model build: this is the entry point
+    # of the pretrained-weight PCK parity runbook (docs/ROADMAP.md), whose
+    # checkpoint artifacts are fetched out-of-band.
+    if args.pretrained is not None:
+        import os
+
+        if not os.path.exists(args.pretrained):
+            raise SystemExit(
+                f"--pretrained checkpoint not found: {args.pretrained!r}.\n"
+                "Fetch a released UniPose checkpoint (Google Drive links in "
+                "the reference README) or point at your own *.pth.tar, then "
+                "rerun — see docs/ROADMAP.md 'Pretrained-weight parity "
+                "runbook' for the full command sequence."
+            )
+
     from unipose_tpu.cli.train import configs_from_args
     from unipose_tpu.train.trainer import Trainer
 
