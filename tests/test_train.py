@@ -205,6 +205,73 @@ def test_video_train_step_runs(rng):
     assert heat.shape == (1, 2, SIZE // 8, SIZE // 8, 14)
 
 
+def _lstm_loss_and_grads(mc, batch, spec):
+    from unipose_tpu.models.unipose import build_model
+    from unipose_tpu.train.steps import make_targets, mse, preprocess_images
+
+    model = build_model(mc)
+    variables = build_model(dataclasses.replace(mc, remat_tower=False)).init(
+        jax.random.PRNGKey(0),
+        batch["frames"],
+        jnp.zeros_like(batch["frames"][..., :1]),  # centermap
+        train=False,
+    )
+
+    def loss_fn(params):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            preprocess_images(batch["frames"]),
+            jnp.zeros_like(batch["frames"][..., :1]),
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(7)},
+        )
+        return mse(out, make_targets(batch["kpts"], spec)), mut["batch_stats"]
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    return loss, stats, grads
+
+
+def test_remat_tower_grad_equivalence(rng):
+    """remat_tower (backbone rematerialization for long-rollout BPTT memory)
+    must be semantically value-invariant.
+
+    Pinned bit-exact with BN frozen to running stats (dropout still active —
+    so rng plumbing, scan, head, and the whole backward are covered).  With
+    train-mode BN the remat graph reassociates the batch-moment reductions
+    (different XLA fusion in the recompute), and those f32 rounding diffs
+    amplify through ~100 BN layers — measured ~1e-3 relative on grads, also
+    present (smaller) in f64, and exactly zero under freeze_bn, i.e. a
+    compilation-level reassociation, not a semantics change.  There the loss
+    itself is pinned tightly instead."""
+    spec = tiny_spec("Penn_Action")
+    batch = video_batch(rng, t=3)
+    mc = ModelConfig(
+        dataset="Penn_Action", num_classes=13, variant="lstm", freeze_bn=True
+    )
+    l0, s0, g0 = _lstm_loss_and_grads(mc, batch, spec)
+    l1, s1, g1 = _lstm_loss_and_grads(
+        dataclasses.replace(mc, remat_tower=True), batch, spec
+    )
+    assert float(l0) == float(l1)  # bit-exact primal
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), g0, g1
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), s0, s1
+    )
+
+    # train-mode BN: reassociation only — loss stays tight
+    mc = ModelConfig(dataset="Penn_Action", num_classes=13, variant="lstm")
+    l0, _, _ = _lstm_loss_and_grads(mc, batch, spec)
+    l1, _, _ = _lstm_loss_and_grads(
+        dataclasses.replace(mc, remat_tower=True), batch, spec
+    )
+    assert float(l0) == pytest.approx(float(l1), rel=1e-5)
+
+
 def test_sharded_train_step_on_mesh(rng, eight_devices):
     """Full GSPMD data-parallel step over the 8-device mesh: batch sharded on
     'data', params replicated, BN stats become global-batch stats."""

@@ -167,10 +167,16 @@ class ModelConfig:
     wasp_double_conv2: bool = True
     # Video variant only: number of ConvLSTM rollout frames.
     frame_memory: int = 5
-    # Rematerialize the scan body under autodiff: trades recompute for BPTT
-    # memory on LONG rollouts (BBC).  Costs ~7x compile time, so off by
-    # default for short clips (measured: 86 s vs >10 min compile at T=5).
+    # Rematerialize the scan body under autodiff.  Saves only the small
+    # per-step cell activations and costs ~7x compile time (measured: 86 s
+    # vs >10 min at T=5) — remat_tower is the effective knob; this one is
+    # kept for completeness.
     remat_scan: bool = False
+    # Rematerialize the per-frame backbone under autodiff: ITS activations
+    # (not the scan carry) are what scales with rollout length, so this is
+    # the knob that makes long-BBC-rollout BPTT affordable
+    # (docs/BENCHMARKS.md remat study).
+    remat_tower: bool = False
 
     @property
     def spec(self) -> DatasetSpec:

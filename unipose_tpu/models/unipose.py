@@ -101,6 +101,7 @@ def build_model(config: ModelConfig) -> nn.Module:
             stride=config.stride,
             wasp_double_conv2=config.wasp_double_conv2,
             remat_scan=config.remat_scan,
+            remat_tower=config.remat_tower,
             freeze_bn=config.freeze_bn,
             dtype=None if config.compute_dtype == jnp.float32 else config.compute_dtype,
         )

@@ -120,10 +120,17 @@ class UniPoseLSTM(nn.Module):
     output_stride: int = 16
     stride: int = 8
     wasp_double_conv2: bool = True
-    # jax.checkpoint the scan body: needed for long-BBC-rollout BPTT memory,
-    # but costs ~7x train-step compile time — opt in via config
+    # jax.checkpoint the scan body: saves only the small per-step cell
+    # activations but costs ~7x train-step compile time — opt in via config
     # (ModelConfig.remat_scan).
     remat_scan: bool = False
+    # jax.checkpoint the per-frame tower (backbone/wasp/decoder/head, the
+    # actual BPTT memory sink — their activations scale with B*T while the
+    # scan carry is tiny).  nn.remat wraps the existing module classes, so
+    # parameter paths (and the torch compat converter) are unchanged.
+    # Measured at T=20 (docs/BENCHMARKS.md): ~7.9x less peak HBM than
+    # remat_scan at a fraction of its compile time.
+    remat_tower: bool = False
     # torch model.freeze_bn() semantics (Reference: model/uniposeLSTM.py:94-95,
     # 150-154, broken upstream): BN uses running stats during training.
     freeze_bn: bool = False
@@ -154,12 +161,24 @@ class UniPoseLSTM(nn.Module):
 
         # --- carry-independent tower, batched over B*T ---
         x = frames.reshape(b * t, h, w, frames.shape[-1])
-        feats, low_level = ResNet101(
+        backbone = ResNet101(
             output_stride=self.output_stride,
             freeze_bn=self.freeze_bn,
             dtype=self.dtype,
             name="backbone",
-        )(x, train=train)
+        )
+        if self.remat_tower and train:
+            # The backbone's internal activations (184²/92² maps x B*T
+            # frames) are the BPTT memory sink — rematerialize them in the
+            # backward pass, saving only its two outputs per frame.  The
+            # module is constructed normally and called through a lifted
+            # function, so parameter paths are unchanged.  remat pays off
+            # only under autodiff; eval skips it.
+            feats, low_level = nn.remat(
+                lambda mdl, xx: mdl(xx, train=True), prevent_cse=False
+            )(backbone, x)
+        else:
+            feats, low_level = backbone(x, train=train)
         y = WASP(
             output_stride=self.output_stride,
             double_conv2=self.wasp_double_conv2,
