@@ -30,3 +30,28 @@ def test_export_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-3, atol=1e-3
     )
+
+
+def test_export_int8_frontend_roundtrip(rng, tmp_path):
+    """--int8_frontend artifacts: the int8-front-end forward exports, loads
+    without model code, and matches the live quantized forward."""
+    from unipose_tpu.models.quantized import int8_forward_fn
+
+    model = UniPose(num_classes=14)
+    x = jnp.asarray(((rng.rand(2, SIZE, SIZE, 3) * 255) - 128) / 256, jnp.float32)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), x[:1]
+    )
+    _, forward = int8_forward_fn(variables, x, num_classes=14, dtype=jnp.float32)
+
+    path = str(tmp_path / "unipose_int8.stablehlo")
+    blob = export_inference(
+        model, variables, (2, SIZE, SIZE, 3), path=path, forward=forward
+    )
+    fn = load_inference(blob)
+    got = fn(x)
+    want = forward(x)
+    assert got.shape == (2, SIZE // 8, SIZE // 8, 15)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-3, atol=1e-3
+    )

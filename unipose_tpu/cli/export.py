@@ -31,6 +31,13 @@ def main(argv=None):
     p.add_argument("--batch", default=1, type=int, help="baked batch size")
     p.add_argument("--size", default=368, type=int, help="baked input size")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument(
+        "--int8_frontend",
+        action="store_true",
+        help="quantize the bandwidth-bound ResNet front end to w8a8 "
+        "(image artifacts only; +8%% measured throughput, changes numerics "
+        "— see docs/BENCHMARKS.md int8 study)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -74,12 +81,35 @@ def main(argv=None):
         if video
         else (args.batch, args.size, args.size, 3)
     )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    forward = None
+    if args.int8_frontend:
+        if video:
+            raise SystemExit("--int8_frontend supports image artifacts only")
+        from unipose_tpu.models.quantized import int8_forward_fn
+
+        # Calibrate activation scales on synthetic images in the serving
+        # input range ((x - 128) / 256 of uniform [0, 255]); for deployment-
+        # grade scales, re-export with a representative batch.
+        calib = (
+            jax.random.uniform(jax.random.PRNGKey(0), (8, args.size, args.size, 3))
+            * 255.0
+            - 128.0
+        ) / 256.0
+        _, forward = int8_forward_fn(
+            variables,
+            calib,
+            num_classes=spec.num_joints,
+            wasp_double_conv2=mc.wasp_double_conv2,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        )
     blob = export_inference(
         model,
-        {"params": state.params, "batch_stats": state.batch_stats},
+        variables,
         shape,
         path=args.out,
         video=video,
+        forward=forward,
     )
     print(f"wrote {args.out}: {len(blob)} bytes, input {list(shape)}")
 

@@ -21,14 +21,19 @@ def export_inference(
     *,
     path: Optional[str] = None,
     video: bool = False,
+    forward=None,
 ) -> bytes:
     """Export the eval-mode forward as serialized StableHLO bytes.
 
     input_shape: (B, H, W, 3) image or (B, T, H, W, 3) video.
+    ``forward`` overrides the default ``model.apply`` closure (image only) —
+    used for the int8-front-end serving variant (models/quantized.py).
     Returns the serialized bytes (also written to ``path`` when given).
     """
     from jax import export as jax_export
 
+    if forward is not None and video:
+        raise ValueError("forward override is only supported for image artifacts")
     if video:
         b, t, h, w, c = input_shape
 
@@ -40,9 +45,12 @@ def export_inference(
             jax.ShapeDtypeStruct((b, t, h, w, 1), jnp.float32),
         )
     else:
+        if forward is not None:
+            fwd = forward
+        else:
 
-        def fwd(x):
-            return model.apply(variables, x, train=False)
+            def fwd(x):
+                return model.apply(variables, x, train=False)
 
         args = (jax.ShapeDtypeStruct(input_shape, jnp.float32),)
 

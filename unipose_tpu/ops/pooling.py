@@ -20,14 +20,18 @@ import jax.numpy as jnp
 
 def max_pool2d(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
     """NHWC max pool, torch output-size convention floor((H+2p-k)/s)+1."""
+    # NOTE: init must be a concrete scalar of the operand dtype (np scalar for
+    # ints) — a jnp array here silently demotes reduce_window from the
+    # reduce_window_max monoid (which has the autodiff rule) to the generic
+    # variadic primitive, which fails under reverse-mode AD.
     neg = (
         -jnp.inf
         if jnp.issubdtype(x.dtype, jnp.floating)
-        else jnp.iinfo(x.dtype).min
+        else np.iinfo(np.dtype(x.dtype)).min
     )
     return lax.reduce_window(
         x,
-        neg,
+        np.asarray(neg, x.dtype)[()],
         lax.max,
         window_dimensions=(1, kernel, kernel, 1),
         window_strides=(1, stride, stride, 1),
