@@ -40,6 +40,11 @@ def main():
         help="comma-separated extra batch sizes to sweep (micro-batched "
         "serving latency, e.g. 2,4,8); each is its own exported artifact",
     )
+    p.add_argument(
+        "--int8", action="store_true",
+        help="bake the w8a8 int8 front end into the artifacts "
+        "(cli/export --int8_frontend equivalent)",
+    )
     args = p.parse_args()
 
     from unipose_tpu.compat.export import export_inference, load_inference
@@ -52,7 +57,23 @@ def main():
     x0 = jnp.zeros((1, size, size, 3), jnp.float32)
     variables = zeros_variables(model, x0)
 
-    blob = export_inference(model, variables, (1, size, size, 3))
+    def make_forward(batch):
+        """None for the default path; the int8-front-end forward with --int8."""
+        if not args.int8:
+            return None
+        from unipose_tpu.models.quantized import int8_forward_fn
+
+        calib = (
+            jax.random.uniform(jax.random.PRNGKey(0), (batch, size, size, 3))
+            * 255.0
+            - 128.0
+        ) / 256.0
+        _, forward = int8_forward_fn(variables, calib, num_classes=14)
+        return forward
+
+    blob = export_inference(
+        model, variables, (1, size, size, 3), forward=make_forward(1)
+    )
     call = load_inference(blob)
     x = jax.device_put(
         np.random.RandomState(0).rand(1, size, size, 3).astype(np.float32)
@@ -73,7 +94,9 @@ def main():
     # requests up to the artifact's baked batch): latency per CALL at batch N
     sweep = {}
     for b in [int(v) for v in args.batches.split(",") if v]:
-        blob_b = export_inference(model, variables, (b, size, size, 3))
+        blob_b = export_inference(
+            model, variables, (b, size, size, 3), forward=make_forward(b)
+        )
         call_b = load_inference(blob_b)
         xb = jax.device_put(
             np.random.RandomState(b).rand(b, size, size, 3).astype(np.float32)
@@ -92,7 +115,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "serving_latency_batch1",
+                "metric": "serving_latency_batch1"
+                + ("_int8" if args.int8 else ""),
                 "value": round(t_art * 1e3, 3),
                 "unit": "ms/frame (device step, chained)",
                 "live_jit_ms": round(t_live * 1e3, 3),

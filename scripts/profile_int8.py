@@ -131,6 +131,8 @@ def main():
 
     if "--full" in sys.argv:
         full_model(b, x)
+    if "--video" in sys.argv:
+        full_video()
 
 
 def full_model(b, x):
@@ -150,6 +152,34 @@ def full_model(b, x):
     t_q = timeit(forward, x)
     print(
         f" full model int8-fe:   {t_q * 1e3:7.2f} ms  ({b / t_q:6.0f} f/s)  "
+        f"=> {t_prod / t_q:.3f}x end-to-end"
+    )
+
+
+def full_video(b=8, t=5):
+    """UniPose-LSTM (batch 8 x 5 frames): production bf16 vs int8 front end."""
+    from bench import zeros_variables
+    from unipose_tpu.models.quantized import int8_video_forward_fn
+    from unipose_tpu.models.unipose_lstm import UniPoseLSTM
+
+    frames, cm = jax.jit(
+        lambda k: (
+            (jax.random.uniform(k, (b, t, 368, 368, 3)) * 255 - 128) / 256,
+            jax.random.uniform(jax.random.fold_in(k, 1), (b, t, 368, 368, 1)),
+        )
+    )(jax.random.PRNGKey(3))
+    model = UniPoseLSTM(num_classes=13, dtype=jnp.bfloat16)
+    variables = zeros_variables(model, frames[:1, :1], cm[:1, :1])
+    t_prod = timeit(lambda f, c: model.apply(variables, f, c, train=False), frames, cm)
+    print(
+        f" video bf16 (B{b}xT{t}): {t_prod * 1e3:7.2f} ms  "
+        f"({b * t / t_prod:6.0f} f/s)",
+        flush=True,
+    )
+    _, forward = int8_video_forward_fn(variables, frames, num_classes=13)
+    t_q = timeit(forward, frames, cm)
+    print(
+        f" video int8-fe:        {t_q * 1e3:7.2f} ms  ({b * t / t_q:6.0f} f/s)  "
         f"=> {t_prod / t_q:.3f}x end-to-end"
     )
 

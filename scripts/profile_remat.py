@@ -23,7 +23,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/unipose_tpu_jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
@@ -60,20 +59,23 @@ def main():
         DATASETS["Penn_Action"], input_size=size, frame_memory=t
     )
     tx = make_optimizer(TrainConfig(batch_size=b))
-    rng = np.random.RandomState(0)
-    batch = {
-        "frames": jax.device_put(
-            rng.rand(b, t, size, size, 3).astype(np.float32) * 255
-        ),
-        "kpts": jax.device_put(
-            np.concatenate(
-                [rng.rand(b, t, 13, 2) * size, np.ones((b, t, 13, 1))], axis=-1
-            ).astype(np.float32)
-        ),
-        "centers": jax.device_put(
-            (rng.rand(b, t, 2) * size).astype(np.float32)
-        ),
-    }
+
+    @jax.jit  # generate on device: host->device is ~MB/s on the TPU tunnel
+    def make_batch(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "frames": jax.random.uniform(k1, (b, t, size, size, 3)) * 255,
+            "kpts": jnp.concatenate(
+                [
+                    jax.random.uniform(k2, (b, t, 13, 2)) * size,
+                    jnp.ones((b, t, 13, 1)),
+                ],
+                axis=-1,
+            ),
+            "centers": jax.random.uniform(k3, (b, t, 2)) * size,
+        }
+
+    batch = make_batch(jax.random.PRNGKey(0))
 
     for name in args.variants.split(","):
         mc = ModelConfig(

@@ -141,6 +141,34 @@ def test_int8_image_forward_matches_model():
     assert rel < 0.08, rel
 
 
+def test_int8_video_forward_matches_model():
+    """The assembled int8-frontend UniPose-LSTM forward must track the real
+    video model (identical scan/head graph, bounded front-end drift)."""
+    from unipose_tpu.models.quantized import int8_video_forward_fn
+    from unipose_tpu.models.unipose_lstm import UniPoseLSTM
+
+    model = UniPoseLSTM(num_classes=13, dtype=jnp.float32)
+    rng = np.random.RandomState(9)
+    b, t, size = 1, 3, 96
+    frames = jnp.asarray((rng.rand(b, t, size, size, 3) * 255 - 128) / 256, jnp.float32)
+    centermap = jnp.asarray(rng.rand(b, t, size, size, 1), jnp.float32)
+    variables = _randomize_bn(
+        jax.jit(lambda k, f, c: model.init(k, f, c, train=False))(
+            jax.random.PRNGKey(2), frames, centermap
+        ),
+        seed=10,
+    )
+    ref = model.apply(variables, frames, centermap, train=False)
+
+    _, forward = int8_video_forward_fn(
+        variables, frames, num_classes=13, dtype=jnp.float32
+    )
+    out = forward(frames, centermap)
+    assert out.shape == ref.shape == (b, t, size // 8, size // 8, 14)
+    rel = float(jnp.linalg.norm((out - ref).ravel()) / jnp.linalg.norm(ref.ravel()))
+    assert rel < 0.08, rel
+
+
 def test_quantize_weight_roundtrip():
     rng = np.random.RandomState(5)
     w = jnp.asarray(rng.randn(3, 3, 4, 8), jnp.float32)

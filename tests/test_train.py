@@ -235,17 +235,20 @@ def _lstm_loss_and_grads(mc, batch, spec):
 
 
 def test_remat_tower_grad_equivalence(rng):
-    """remat_tower (backbone rematerialization for long-rollout BPTT memory)
-    must be semantically value-invariant.
+    """remat_tower (segmented per-bottleneck backbone checkpointing for
+    long-rollout BPTT memory) must be semantically value-invariant.
 
-    Pinned bit-exact with BN frozen to running stats (dropout still active —
-    so rng plumbing, scan, head, and the whole backward are covered).  With
-    train-mode BN the remat graph reassociates the batch-moment reductions
-    (different XLA fusion in the recompute), and those f32 rounding diffs
-    amplify through ~100 BN layers — measured ~1e-3 relative on grads, also
-    present (smaller) in f64, and exactly zero under freeze_bn, i.e. a
-    compilation-level reassociation, not a semantics change.  There the loss
-    itself is pinned tightly instead."""
+    The primal is pinned bit-exact with BN frozen to running stats (dropout
+    still active — so rng plumbing, scan, head, and the whole backward are
+    covered).  Gradients are pinned tightly but NOT bit-exact: a real remat
+    recomputes the forward inside the backward with different XLA fusion
+    order, so f32 rounding differs at the ulp level.  (A previous version of
+    this test asserted bit-exact grads and passed — because prevent_cse was
+    False and XLA's CSE had silently deleted the rematerialization entirely;
+    see the docs/BENCHMARKS.md remat study.  Bit-exactness here would be a
+    bug signal, not a quality bar.)  With train-mode BN the batch-moment
+    reassociation amplifies through ~100 BN layers — the loss is pinned at
+    1e-4 there."""
     spec = tiny_spec("Penn_Action")
     batch = video_batch(rng, t=3)
     mc = ModelConfig(
@@ -257,19 +260,24 @@ def test_remat_tower_grad_equivalence(rng):
     )
     assert float(l0) == float(l1)  # bit-exact primal
     jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_array_equal(a, b), g0, g1
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-7),
+        g0,
+        g1,
     )
+    # running stats are untouched under freeze_bn -> still bit-exact
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(a, b), s0, s1
     )
 
-    # train-mode BN: reassociation only — loss stays tight
+    # train-mode BN: the batch moments are computed inside the remat blocks
+    # with different fusion, so f32 reassociation shows up in the primal too
+    # (measured ~2e-5 rel after ~100 BN layers) — loss pinned at 1e-4
     mc = ModelConfig(dataset="Penn_Action", num_classes=13, variant="lstm")
     l0, _, _ = _lstm_loss_and_grads(mc, batch, spec)
     l1, _, _ = _lstm_loss_and_grads(
         dataclasses.replace(mc, remat_tower=True), batch, spec
     )
-    assert float(l0) == pytest.approx(float(l1), rel=1e-5)
+    assert float(l0) == pytest.approx(float(l1), rel=1e-4)
 
 
 def test_sharded_train_step_on_mesh(rng, eight_devices):

@@ -35,8 +35,8 @@ def main(argv=None):
         "--int8_frontend",
         action="store_true",
         help="quantize the bandwidth-bound ResNet front end to w8a8 "
-        "(image artifacts only; +8%% measured throughput, changes numerics "
-        "— see docs/BENCHMARKS.md int8 study)",
+        "(changes numerics; measured +8%% throughput on image artifacts, "
+        "parity on video — see docs/BENCHMARKS.md int8 study)",
     )
     args = p.parse_args(argv)
 
@@ -84,25 +84,28 @@ def main(argv=None):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     forward = None
     if args.int8_frontend:
-        if video:
-            raise SystemExit("--int8_frontend supports image artifacts only")
-        from unipose_tpu.models.quantized import int8_forward_fn
+        from unipose_tpu.models.quantized import int8_forward_fn, int8_video_forward_fn
 
         # Calibrate activation scales on synthetic images in the serving
         # input range ((x - 128) / 256 of uniform [0, 255]); for deployment-
         # grade scales, re-export with a representative batch.
+        calib_shape = (
+            (2, args.frame_memory, args.size, args.size, 3)
+            if video
+            else (8, args.size, args.size, 3)
+        )
         calib = (
-            jax.random.uniform(jax.random.PRNGKey(0), (8, args.size, args.size, 3))
-            * 255.0
-            - 128.0
+            jax.random.uniform(jax.random.PRNGKey(0), calib_shape) * 255.0 - 128.0
         ) / 256.0
-        _, forward = int8_forward_fn(
-            variables,
-            calib,
+        kw = dict(
             num_classes=spec.num_joints,
             wasp_double_conv2=mc.wasp_double_conv2,
             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         )
+        if video:
+            _, forward = int8_video_forward_fn(variables, calib, **kw)
+        else:
+            _, forward = int8_forward_fn(variables, calib, **kw)
     blob = export_inference(
         model,
         variables,

@@ -26,19 +26,22 @@ def export_inference(
     """Export the eval-mode forward as serialized StableHLO bytes.
 
     input_shape: (B, H, W, 3) image or (B, T, H, W, 3) video.
-    ``forward`` overrides the default ``model.apply`` closure (image only) —
-    used for the int8-front-end serving variant (models/quantized.py).
+    ``forward`` overrides the default ``model.apply`` closure (image: f(x);
+    video: f(frames, centermap)) — used for the int8-front-end serving
+    variant (models/quantized.py).
     Returns the serialized bytes (also written to ``path`` when given).
     """
     from jax import export as jax_export
 
-    if forward is not None and video:
-        raise ValueError("forward override is only supported for image artifacts")
     if video:
         b, t, h, w, c = input_shape
 
-        def fwd(frames, centermap):
-            return model.apply(variables, frames, centermap, train=False)
+        if forward is not None:
+            fwd = forward
+        else:
+
+            def fwd(frames, centermap):
+                return model.apply(variables, frames, centermap, train=False)
 
         args = (
             jax.ShapeDtypeStruct(input_shape, jnp.float32),

@@ -172,10 +172,12 @@ class ModelConfig:
     # vs >10 min at T=5) — remat_tower is the effective knob; this one is
     # kept for completeness.
     remat_scan: bool = False
-    # Rematerialize the per-frame backbone under autodiff: ITS activations
-    # (not the scan carry) are what scales with rollout length, so this is
-    # the knob that makes long-BBC-rollout BPTT affordable
-    # (docs/BENCHMARKS.md remat study).
+    # Segmented gradient checkpointing of the per-frame backbone (each
+    # bottleneck its own remat block): the backbone activations — not the
+    # scan carry — are what scales with rollout length.  Measured on v5e at
+    # T=20: 2.1x less peak HBM for ~15% step time; granularity is essential
+    # (one whole-backbone remat block saves almost nothing: the recompute
+    # re-materializes every activation at once) — docs/BENCHMARKS.md.
     remat_tower: bool = False
 
     @property
@@ -276,7 +278,13 @@ PRESETS = {
         description="BBC Pose video eval (7 joints, long sequences through the LSTM scan)",
         model=ModelConfig(
             dataset="BBC", num_classes=7, variant="lstm", frame_memory=5,
-            remat_scan=True,  # long-sequence eval/training path
+            # No remat by default: at T=5 the step fits easily (~2 GiB temp),
+            # long-video EVAL streams in chunks without BPTT (eval/video.py),
+            # and remat_scan costs ~10x compile for nothing (it checkpoints
+            # the tiny cell, not the memory sink).  For long-rollout BPTT
+            # (T>~40) set remat_tower=True — segmented backbone checkpointing,
+            # measured 2.1x less peak HBM at T=20 for ~15% step time
+            # (docs/BENCHMARKS.md remat study).
         ),
         train=TrainConfig(batch_size=1, sigma=1.0, model_name="uniposeLSTM_bbc"),
     ),

@@ -116,12 +116,19 @@ class _Stage(nn.Module):
     dilations: Sequence[int]
     first_downsample: bool
     freeze_bn: bool = False
+    # Segmented rematerialization: checkpoint each bottleneck, so the
+    # backward pass saves only block-boundary activations and recomputes one
+    # block at a time.  This is the granularity that actually cuts peak
+    # memory — rematting the whole backbone as one block recomputes (and
+    # holds) every activation at once, saving almost nothing (measured:
+    # docs/BENCHMARKS.md remat study).  Training only; eval is unaffected.
+    remat: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
         for i, (s, d) in enumerate(zip(self.strides, self.dilations)):
-            x = Bottleneck(
+            block = Bottleneck(
                 self.planes,
                 stride=s,
                 dilation=d,
@@ -129,7 +136,16 @@ class _Stage(nn.Module):
                 freeze_bn=self.freeze_bn,
                 dtype=self.dtype,
                 name=str(i),
-            )(x, train=train)
+            )
+            if self.remat and train:
+                # prevent_cse=True is load-bearing: CSE would merge the
+                # recomputation back into the forward, resurrecting the
+                # saved buffers.
+                x = nn.remat(
+                    lambda mdl, h: mdl(h, train=True), prevent_cse=True
+                )(block, x)
+            else:
+                x = block(x, train=train)
         return x
 
 
@@ -144,6 +160,9 @@ class ResNet101(nn.Module):
     # broken upstream): BN uses running stats during training, stats are not
     # updated; affine params still train, dropout unaffected.
     freeze_bn: bool = False
+    # Per-bottleneck gradient checkpointing (see _Stage.remat): long-rollout
+    # video BPTT memory knob, training only.
+    remat_blocks: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -185,6 +204,7 @@ class ResNet101(nn.Module):
                 dilations=[dilations[i]] * n_blocks,
                 first_downsample=True,
                 freeze_bn=self.freeze_bn,
+                remat=self.remat_blocks,
                 dtype=self.dtype,
                 name=name,
             )
@@ -200,6 +220,7 @@ class ResNet101(nn.Module):
             dilations=[m * dilations[3] for m in self.multi_grid],
             first_downsample=True,
             freeze_bn=self.freeze_bn,
+            remat=self.remat_blocks,
             dtype=self.dtype,
             name="layer4",
         )(x, train=train)

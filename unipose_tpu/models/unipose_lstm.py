@@ -124,12 +124,11 @@ class UniPoseLSTM(nn.Module):
     # activations but costs ~7x train-step compile time — opt in via config
     # (ModelConfig.remat_scan).
     remat_scan: bool = False
-    # jax.checkpoint the per-frame tower (backbone/wasp/decoder/head, the
-    # actual BPTT memory sink — their activations scale with B*T while the
-    # scan carry is tiny).  nn.remat wraps the existing module classes, so
-    # parameter paths (and the torch compat converter) are unchanged.
-    # Measured at T=20 (docs/BENCHMARKS.md): ~7.9x less peak HBM than
-    # remat_scan at a fraction of its compile time.
+    # Segmented gradient checkpointing of the per-frame backbone (the BPTT
+    # memory sink — its activations scale with B*T while the scan carry is
+    # tiny): each bottleneck is its own remat block (ResNet101.remat_blocks),
+    # parameter paths unchanged.  Training only.  Measured numbers in
+    # docs/BENCHMARKS.md remat study.
     remat_tower: bool = False
     # torch model.freeze_bn() semantics (Reference: model/uniposeLSTM.py:94-95,
     # 150-154, broken upstream): BN uses running stats during training.
@@ -161,24 +160,21 @@ class UniPoseLSTM(nn.Module):
 
         # --- carry-independent tower, batched over B*T ---
         x = frames.reshape(b * t, h, w, frames.shape[-1])
+        # remat_tower = SEGMENTED checkpointing: each bottleneck is its own
+        # remat block (ResNet101.remat_blocks), so the backward holds one
+        # block's activations at a time and saves only block boundaries.
+        # Rematting the whole backbone as a single block was measured useless
+        # on v5e (the recompute phase materializes every activation at once,
+        # so peak temp barely moved: 4.71 -> 4.41 GiB at T=20) — granularity
+        # is the knob, not the wrap (docs/BENCHMARKS.md remat study).
         backbone = ResNet101(
             output_stride=self.output_stride,
             freeze_bn=self.freeze_bn,
+            remat_blocks=self.remat_tower,
             dtype=self.dtype,
             name="backbone",
         )
-        if self.remat_tower and train:
-            # The backbone's internal activations (184²/92² maps x B*T
-            # frames) are the BPTT memory sink — rematerialize them in the
-            # backward pass, saving only its two outputs per frame.  The
-            # module is constructed normally and called through a lifted
-            # function, so parameter paths are unchanged.  remat pays off
-            # only under autodiff; eval skips it.
-            feats, low_level = nn.remat(
-                lambda mdl, xx: mdl(xx, train=True), prevent_cse=False
-            )(backbone, x)
-        else:
-            feats, low_level = backbone(x, train=train)
+        feats, low_level = backbone(x, train=train)
         y = WASP(
             output_stride=self.output_stride,
             double_conv2=self.wasp_double_conv2,
