@@ -233,3 +233,41 @@ def test_serve_video_clip(video_artifact_path):
         assert conn.getresponse().status == 404
     finally:
         server.shutdown()
+
+
+def test_serve_int8_artifact(tmp_path):
+    """An --int8_frontend artifact built through the export CLI serves
+    normally: the server derives geometry from the avals and has no idea the
+    front end is quantized."""
+    from unipose_tpu.cli import export as export_mod
+
+    path = tmp_path / "int8.hlo"
+    export_mod.main(
+        ["--dataset", "LSP", "--out", str(path), "--size", str(SIZE),
+         "--int8_frontend"]
+    )
+    server = serve_mod.make_server(make_ns(str(path)))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["num_joints"] == 14
+        assert health["input"] == [1, SIZE, SIZE, 3]
+
+        img = np.random.RandomState(3).randint(0, 255, (80, 100, 3), np.uint8)
+        ok, buf = cv2.imencode(".jpg", img)
+        assert ok
+        conn.request(
+            "POST", "/predict", body=buf.tobytes(),
+            headers={"Content-Length": str(len(buf))},
+        )
+        r = conn.getresponse()
+        out = json.loads(r.read())
+        assert r.status == 200, out
+        assert len(out["keypoints"]) == 14
+        for x, y in out["keypoints"]:
+            assert 0 <= x <= 100 and 0 <= y <= 80
+    finally:
+        server.shutdown()
