@@ -271,3 +271,51 @@ def test_serve_int8_artifact(tmp_path):
             assert 0 <= x <= 100 and 0 <= y <= 80
     finally:
         server.shutdown()
+
+
+def test_serve_streaming_video(tmp_path):
+    """A --stream artifact serves clips LONGER than its chunk length: the
+    server carries ConvLSTM state across chunk calls."""
+    from unipose_tpu.cli import export as export_mod
+
+    path = tmp_path / "stream.hlo"
+    export_mod.main(
+        ["--dataset", "Penn_Action", "--model_arch", "uniposeLSTM",
+         "--frame_memory", "2", "--size", str(SIZE), "--stream",
+         "--out", str(path)]
+    )
+    server = serve_mod.make_server(make_ns(str(path)))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["kind"] == "video_stream"
+        assert health["input"] == [1, 2, SIZE, SIZE, 3]
+
+        import base64 as b64mod
+
+        frames = []
+        for seed in range(5):  # 5 frames > chunk length 2
+            img = np.random.RandomState(seed).randint(
+                0, 255, (80, 100, 3), np.uint8
+            )
+            ok, buf = cv2.imencode(".jpg", img)
+            assert ok
+            frames.append(b64mod.b64encode(buf.tobytes()).decode())
+        body = json.dumps({"frames": frames}).encode()
+        conn.request(
+            "POST", "/predict_video", body=body,
+            headers={"Content-Length": str(len(body))},
+        )
+        r = conn.getresponse()
+        out = json.loads(r.read())
+        assert r.status == 200, out
+        assert len(out["keypoints"]) == 5  # one per REAL frame
+        for frame_kpts in out["keypoints"]:
+            assert len(frame_kpts) == 13
+            for x, y in frame_kpts:
+                assert 0 <= x <= 100 and 0 <= y <= 80
+    finally:
+        server.shutdown()

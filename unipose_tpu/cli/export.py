@@ -38,7 +38,17 @@ def main(argv=None):
         "(changes numerics; measured +8%% throughput on image artifacts, "
         "parity on video — see docs/BENCHMARKS.md int8 study)",
     )
+    p.add_argument(
+        "--stream",
+        action="store_true",
+        help="video only: export a STREAMING artifact (a chunk-program pair "
+        "carrying ConvLSTM state), so cli/serve can run clips of any length "
+        "in fixed --frame_memory chunks",
+    )
     args = p.parse_args(argv)
+    if args.stream and args.int8_frontend:
+        raise SystemExit("--stream with --int8_frontend is not supported "
+                         "(int8 measured at parity on video anyway)")
 
     import jax
 
@@ -106,6 +116,17 @@ def main(argv=None):
             _, forward = int8_video_forward_fn(variables, calib, **kw)
         else:
             _, forward = int8_forward_fn(variables, calib, **kw)
+    if args.stream:
+        if not video:
+            raise SystemExit("--stream requires --model_arch uniposeLSTM")
+        from unipose_tpu.compat.export import export_video_stream
+
+        blob = export_video_stream(model, variables, shape, path=args.out)
+        print(
+            f"wrote {args.out}: {len(blob)} bytes, streaming chunk "
+            f"{list(shape)}"
+        )
+        return
     blob = export_inference(
         model,
         variables,

@@ -12,9 +12,11 @@ Both model families are servable:
     up to the artifact's baked batch size (export with ``--batch N``);
   * video artifacts ((B, T, H, W, 3) + centermap inputs): ``/predict_video``
     takes a JSON clip of base64 JPEG frames, short clips are padded by
-    repeating the last frame.  (For arbitrarily long videos use the
-    streaming chunk step, eval/video.py::make_stream_step — that requires
-    the Python model, not an artifact.)
+    repeating the last frame;
+  * STREAMING video artifacts (``cli/export --stream``): ``/predict_video``
+    accepts clips of ANY length — the artifact is a chunk-program pair and
+    the server carries the ConvLSTM state across fixed-T chunk calls
+    (the artifact twin of eval/video.py::stream_video).
 
 Endpoints:
   GET  /healthz        -> {"status": "ok", "kind": "image"|"video", ...}
@@ -174,7 +176,11 @@ def make_server(args):
     import cv2
     import jax.numpy as jnp
 
-    from unipose_tpu.compat.export import load_exported
+    from unipose_tpu.compat.export import (
+        is_stream_artifact,
+        load_exported,
+        load_video_stream,
+    )
     from unipose_tpu.train.steps import preprocess_images
 
     size = args.size
@@ -208,10 +214,17 @@ def make_server(args):
             (1, size, size, 3),
         )
 
-    exported = load_exported(blob)
-    call = exported.call
+    stream = is_stream_artifact(blob)
+    if stream:
+        init_exp, cont_exp = load_video_stream(blob)
+        exported = init_exp
+        init_call, cont_call = init_exp.call, cont_exp.call
+        call = None
+    else:
+        exported = load_exported(blob)
+        call = exported.call
     in_avals = exported.in_avals
-    video = len(in_avals) == 2 and in_avals[0].ndim == 5
+    video = stream or (len(in_avals) == 2 and in_avals[0].ndim == 5)
     if not video and (len(in_avals) != 1 or in_avals[0].ndim != 4):
         raise SystemExit(
             "serve expects an image artifact with one (B, H, W, 3) input or "
@@ -238,39 +251,80 @@ def make_server(args):
     if video:
         clip_t = int(in_shape[1])
 
-        def predict_video(body: bytes):
+        def _decode_clip(body: bytes):
             req = json.loads(body)
             frames_b64 = req.get("frames")
             if not isinstance(frames_b64, list) or not frames_b64:
                 raise ValueError('body must be {"frames": ["<b64 jpeg>", ...]}')
-            if len(frames_b64) > clip_t:
-                raise ValueError(
-                    f"clip too long: {len(frames_b64)} frames > artifact "
-                    f"clip length {clip_t} (stream long videos through "
-                    "eval/video.py::make_stream_step)"
-                )
             imgs = [_decode_image(base64.b64decode(fb)) for fb in frames_b64]
             dims = [(im.shape[1], im.shape[0]) for im in imgs]  # (w0, h0)
-            t_real = len(imgs)
             frames = np.stack(
                 [cv2.resize(im, (size, size)).astype(np.float32) for im in imgs]
             )
-            if t_real < clip_t:  # pad the static clip dim
-                pad = np.repeat(frames[-1:], clip_t - t_real, axis=0)
+            return frames, dims
+
+        def _pad_clip(frames, t_target):
+            """Pad the time dim to ``t_target`` (repeat last frame), add the
+            batch dim, pad the static batch dim."""
+            if frames.shape[0] < t_target:
+                pad = np.repeat(frames[-1:], t_target - frames.shape[0], axis=0)
                 frames = np.concatenate([frames, pad])
             clip = np.asarray(preprocess_images(frames))[None]
-            if baked_batch > 1:  # pad the static batch dim
+            if baked_batch > 1:
                 clip = np.concatenate(
                     [clip, np.repeat(clip[-1:], baked_batch - 1, axis=0)]
                 )
-            t0 = time.perf_counter()
-            heat = np.asarray(call(clip, _centermaps(baked_batch, clip_t, size)))
-            dt = (time.perf_counter() - t0) * 1e3
-            kpts = [
-                _argmax_kpts(heat[0, j], num_joints, *dims[j])
-                for j in range(t_real)
-            ]
-            return {"keypoints": kpts, "ms": round(dt, 2)}
+            return clip
+
+        if stream:
+
+            def predict_video(body: bytes):
+                """Any clip length: run in clip_t chunks, ConvLSTM state
+                carried across chunk calls (the artifact twin of
+                eval/video.py::stream_video)."""
+                frames, dims = _decode_clip(body)
+                t_real = len(dims)
+                cm = _centermaps(baked_batch, clip_t, size)
+                t0 = time.perf_counter()
+                heats, state = [], None
+                for start in range(0, t_real, clip_t):
+                    clip = _pad_clip(frames[start : start + clip_t], clip_t)
+                    if state is None:
+                        heat, cell, hide = init_call(clip, cm)
+                    else:
+                        heat, cell, hide = cont_call(clip, cm, *state)
+                    state = (cell, hide)
+                    heats.append(np.asarray(heat[0]))
+                dt = (time.perf_counter() - t0) * 1e3
+                heat_all = np.concatenate(heats, axis=0)[:t_real]
+                kpts = [
+                    _argmax_kpts(heat_all[j], num_joints, *dims[j])
+                    for j in range(t_real)
+                ]
+                return {"keypoints": kpts, "ms": round(dt, 2)}
+
+        else:
+
+            def predict_video(body: bytes):
+                frames, dims = _decode_clip(body)
+                t_real = len(dims)
+                if t_real > clip_t:
+                    raise ValueError(
+                        f"clip too long: {t_real} frames > artifact "
+                        f"clip length {clip_t} (export a streaming artifact "
+                        "with cli/export --stream to serve long videos)"
+                    )
+                clip = _pad_clip(frames, clip_t)
+                t0 = time.perf_counter()
+                heat = np.asarray(
+                    call(clip, _centermaps(baked_batch, clip_t, size))
+                )
+                dt = (time.perf_counter() - t0) * 1e3
+                kpts = [
+                    _argmax_kpts(heat[0, j], num_joints, *dims[j])
+                    for j in range(t_real)
+                ]
+                return {"keypoints": kpts, "ms": round(dt, 2)}
 
         routes["/predict_video"] = predict_video
     else:
@@ -291,7 +345,7 @@ def make_server(args):
         routes["/predict"] = predict
 
     meta = {
-        "kind": "video" if video else "image",
+        "kind": ("video_stream" if stream else "video") if video else "image",
         "input": list(in_shape),
         "num_joints": num_joints,
         "batch": baked_batch,

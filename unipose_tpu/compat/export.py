@@ -65,6 +65,104 @@ def export_inference(
     return blob
 
 
+# --------------------------------------------------------------------------
+# Streaming video artifacts: a pair of chunk programs that carry the ConvLSTM
+# state, so a server can run arbitrarily long videos in fixed-T chunks with
+# constant memory (the artifact twin of eval/video.py::make_stream_step).
+# Container layout: MAGIC + u64 init_len + init_blob + u64 cont_len + cont_blob.
+# --------------------------------------------------------------------------
+
+STREAM_MAGIC = b"UPSTREAM1"
+
+
+def export_video_stream(
+    model,
+    variables,
+    chunk_shape: Tuple[int, ...],
+    *,
+    path: Optional[str] = None,
+) -> bytes:
+    """Export the streaming chunk pair for a video model.
+
+    chunk_shape: (B, T, H, W, 3) — the fixed chunk geometry.
+      init: (frames, centermap) -> (heat, cell, hide)   [frame 0 via ConvLSTM0]
+      cont: (frames, centermap, cell, hide) -> (heat, cell, hide)
+    Heat is (B, T, H/8, W/8, K+1); state is the f32 (cell, hide) pair carried
+    across chunks (models/unipose_lstm.py sows it as ``final_state``).
+    """
+    import struct
+
+    from jax import export as jax_export
+
+    b, t, h, w, _ = chunk_shape
+
+    def fwd_init(frames, centermap):
+        heat, inter = model.apply(
+            variables, frames, centermap, train=False, mutable=["intermediates"]
+        )
+        cell, hide = inter["intermediates"]["final_state"][0]
+        return heat, cell, hide
+
+    def fwd_cont(frames, centermap, cell, hide):
+        heat, inter = model.apply(
+            variables,
+            frames,
+            centermap,
+            train=False,
+            initial_state=(cell, hide),
+            mutable=["intermediates"],
+        )
+        cell2, hide2 = inter["intermediates"]["final_state"][0]
+        return heat, cell2, hide2
+
+    clip_args = (
+        jax.ShapeDtypeStruct(chunk_shape, jnp.float32),
+        jax.ShapeDtypeStruct((b, t, h, w, 1), jnp.float32),
+    )
+    init_exp = jax_export.export(jax.jit(fwd_init))(*clip_args)
+    state_args = tuple(
+        jax.ShapeDtypeStruct(a.shape, a.dtype) for a in init_exp.out_avals[1:]
+    )
+    cont_exp = jax_export.export(jax.jit(fwd_cont))(*clip_args, *state_args)
+
+    b0, b1 = init_exp.serialize(), cont_exp.serialize()
+    blob = (
+        STREAM_MAGIC
+        + struct.pack("<Q", len(b0))
+        + b0
+        + struct.pack("<Q", len(b1))
+        + b1
+    )
+    if path:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+def is_stream_artifact(blob: bytes) -> bool:
+    return blob.startswith(STREAM_MAGIC)
+
+
+def load_video_stream(blob: bytes):
+    """Deserialize a streaming container; returns (init_exported,
+    cont_exported) ``Exported`` objects."""
+    import struct
+
+    from jax import export as jax_export
+
+    if not is_stream_artifact(blob):
+        raise ValueError("not a streaming video artifact (bad magic)")
+    off = len(STREAM_MAGIC)
+    (n0,) = struct.unpack_from("<Q", blob, off)
+    off += 8
+    init_exp = jax_export.deserialize(blob[off : off + n0])
+    off += n0
+    (n1,) = struct.unpack_from("<Q", blob, off)
+    off += 8
+    cont_exp = jax_export.deserialize(blob[off : off + n1])
+    return init_exp, cont_exp
+
+
 def load_exported(blob: bytes):
     """Deserialize an exported artifact; returns the ``Exported`` object
     (``.call`` to invoke; ``.in_avals``/``.out_avals`` carry the exact input
