@@ -45,7 +45,30 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", default=None, type=str,
                    help="capture a jax.profiler device trace of epoch 0 "
                         "(view in TensorBoard/Perfetto)")
+    p.add_argument("--time_parallel", default=1, type=int,
+                   help="video only: shard each clip's frames over a 'time' "
+                        "mesh axis of this size (sequence/context parallelism, "
+                        "parallel/cp.py); remaining devices form the 'data' "
+                        "axis. 1 = off")
     return p
+
+
+def apply_time_parallel(model_config, train_config, n_time: int):
+    """Resolve ``--time_parallel`` into configs: a (data, time) mesh plus the
+    model's ``spmd_axes`` (frames of one clip shard across chips for the
+    tower + head; the tiny ConvLSTM scan runs replicated — parallel/cp.py)."""
+    import dataclasses
+
+    if n_time <= 1:
+        return model_config, train_config
+    if model_config.variant != "lstm":
+        raise SystemExit("--time_parallel applies to --model_arch uniposeLSTM only")
+    return (
+        dataclasses.replace(model_config, spmd_axes=("data", "time")),
+        dataclasses.replace(
+            train_config, mesh_shape=(-1, n_time), mesh_axes=("data", "time")
+        ),
+    )
 
 
 def configs_from_args(args) -> tuple:
@@ -98,6 +121,9 @@ def main(argv=None):
         train_config = dataclasses.replace(
             train_config, checkpoint_dir=args.checkpoint_dir
         )
+    model_config, train_config = apply_time_parallel(
+        model_config, train_config, args.time_parallel
+    )
 
     from unipose_tpu.train.trainer import Trainer
 

@@ -179,6 +179,12 @@ class ModelConfig:
     # (one whole-backbone remat block saves almost nothing: the recompute
     # re-materializes every activation at once) — docs/BENCHMARKS.md.
     remat_tower: bool = False
+    # Video variant only — sequence/context parallelism (SURVEY §5.7): mesh
+    # axis names (data_axis, time_axis).  When set, the per-frame tower +
+    # head shard over BOTH axes (frames of one clip spread across chips)
+    # while the tiny ConvLSTM scan runs replicated on all-gathered features.
+    # Steps must be traced under ``jax.set_mesh`` (parallel/cp.py).
+    spmd_axes: Optional[Tuple[Optional[str], Optional[str]]] = None
 
     @property
     def spec(self) -> DatasetSpec:

@@ -103,6 +103,7 @@ def build_model(config: ModelConfig) -> nn.Module:
             remat_scan=config.remat_scan,
             remat_tower=config.remat_tower,
             freeze_bn=config.freeze_bn,
+            spmd_axes=config.spmd_axes,
             dtype=None if config.compute_dtype == jnp.float32 else config.compute_dtype,
         )
     raise ValueError(f"unknown variant {config.variant!r}")

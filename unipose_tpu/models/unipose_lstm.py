@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from jax.sharding import PartitionSpec as P
+
 from unipose_tpu.models.decoder import Decoder
 from unipose_tpu.models.layers import Conv
 from unipose_tpu.models.resnet import ResNet101
@@ -133,7 +135,33 @@ class UniPoseLSTM(nn.Module):
     # torch model.freeze_bn() semantics (Reference: model/uniposeLSTM.py:94-95,
     # 150-154, broken upstream): BN uses running stats during training.
     freeze_bn: bool = False
+    # Sequence/context parallelism (SURVEY §5.7 growth path): mesh axis names
+    # (data_axis, time_axis) — either may be None.  When set, GSPMD sharding
+    # constraints pin the carry-independent tower + head (≈99% of FLOPs,
+    # batched over B*T) to shard frames across BOTH axes, while the tiny
+    # ConvLSTM scan runs replicated on all-gathered per-frame features
+    # ((T,B,h/8,w/8,K+2) — the cheapest tensor in the program, ~63 KB/frame
+    # at 368² bf16).  This scales a SINGLE clip's rollout across chips,
+    # which pure data parallelism cannot.  Callers must trace the jitted
+    # step under ``jax.set_mesh(mesh)`` with matching axis names
+    # (parallel/cp.py wraps this).
+    spmd_axes: Optional[Tuple[Optional[str], Optional[str]]] = None
     dtype: Optional[jnp.dtype] = None
+
+    def _frame_spec(self) -> Optional[P]:
+        """PartitionSpec for (B*T, h, w, c) frame-major tensors.
+
+        None during ``init``: shape inference needs no placement, and init
+        is routinely traced outside any mesh context (Trainer state init,
+        ``__graft_entry__``) — a ``with_sharding_constraint(P(...))`` there
+        would raise.  Real applies still fail loudly without ``jax.set_mesh``.
+        """
+        if self.spmd_axes is None or self.is_initializing():
+            return None
+        axes = tuple(a for a in self.spmd_axes if a)
+        if not axes:
+            return None
+        return P(axes if len(axes) > 1 else axes[0])
 
     @nn.compact
     def __call__(
@@ -158,8 +186,17 @@ class UniPoseLSTM(nn.Module):
         if self.dtype is not None:
             frames = frames.astype(self.dtype)
 
+        frame_spec = self._frame_spec()
+
         # --- carry-independent tower, batched over B*T ---
         x = frames.reshape(b * t, h, w, frames.shape[-1])
+        if frame_spec is not None:
+            # Shard frames over data x time: the whole tower (backbone, WASP,
+            # decoder — the FLOPs) partitions along its batch dim with zero
+            # communication; XLA only inserts collectives for BN stats
+            # (which makes sync-BN stats global over B*T, same as the
+            # unsharded program).
+            x = jax.lax.with_sharding_constraint(x, frame_spec)
         # remat_tower = SEGMENTED checkpointing: each bottleneck is its own
         # remat block (ResNet101.remat_blocks), so the backward holds one
         # block's activations at a time and saves only block boundaries.
@@ -195,6 +232,13 @@ class UniPoseLSTM(nn.Module):
         h8, w8 = z.shape[1:3]
         z = z.reshape(b, t, h8, w8, lstm_ch)
         z = jnp.moveaxis(z, 1, 0)  # time-major (T, B, h8, w8, C)
+        if frame_spec is not None:
+            # The recurrence is inherently serial over T; all-gather the
+            # per-frame features (the smallest tensor in the program) across
+            # the time axis and run the cheap scan replicated.  Batch stays
+            # sharded over the data axis.  Under autodiff the all-gather
+            # transposes to a reduce-scatter of the feature cotangents.
+            z = jax.lax.with_sharding_constraint(z, P(None, self.spmd_axes[0]))
 
         # --- recurrence ---
         if initial_state is None:
@@ -227,6 +271,10 @@ class UniPoseLSTM(nn.Module):
 
         # --- head, batched over B*T ---
         hides_bt = jnp.moveaxis(hides, 0, 1).reshape(b * t, h8, w8, lstm_ch)
+        if frame_spec is not None:
+            # Re-shard the hidden states frame-major so the 11x11 head (the
+            # second-biggest FLOPs block) also partitions over data x time.
+            hides_bt = jax.lax.with_sharding_constraint(hides_bt, frame_spec)
         heat = LSTMHead(self.num_classes + 1, dtype=self.dtype, name="head")(hides_bt)
         heat = heat.reshape(b, t, h8, w8, self.num_classes + 1)
 

@@ -1,0 +1,80 @@
+"""Sequence/context parallelism for the video model (SURVEY §5.7 growth path).
+
+The reference rolls the whole tower serially once per frame on one GPU
+(Reference: uniposeLSTM.py:124-128).  Data parallelism (parallel/mesh.py)
+scales the *batch of clips*; this module scales a *single clip's rollout*
+across chips: frames shard over a ``time`` mesh axis for the
+carry-independent tower + 11x11 head (≈99% of the FLOPs, batched over B*T
+in models/unipose_lstm.py), and only the tiny ConvLSTM scan runs replicated
+on all-gathered per-frame features — the smallest tensor in the program
+(h/8 * w/8 * (K+2), ~63 KB/frame at 368² bf16).
+
+Composition with data parallelism is a 2-D ``(data, time)`` mesh: clips
+shard over ``data``, frames of each clip over ``time``; XLA partitions the
+(B*T)-batched tower over both axes at once.  All collectives ride ICI.
+
+Usage::
+
+    mesh = make_video_mesh(n_data=2, n_time=4)
+    config = dataclasses.replace(config, spmd_axes=("data", "time"))
+    model = build_model(config)
+    step = make_train_step(model, tx, spec, video=True)
+    with jax.set_mesh(mesh):                 # mesh context for tracing the
+        state, metrics = step(state, batch)  # model's sharding constraints
+
+``jax.set_mesh`` is only needed while a step *traces* (first call per
+shape); wrap calls in it unconditionally — it is free after compilation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from unipose_tpu.parallel.mesh import make_mesh
+
+
+def make_video_mesh(
+    n_data: int = 1,
+    n_time: int = -1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """2-D ``(data, time)`` mesh; ``-1`` absorbs the remaining devices.
+
+    Keep ``time`` the minor (fastest-varying) axis so the per-clip feature
+    all-gather before the scan rides neighbouring ICI links.
+    """
+    return make_mesh((n_data, n_time), ("data", "time"), devices=devices)
+
+
+def clip_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (B, T, ...) clip tensors: B over data, T over time."""
+    return NamedSharding(mesh, P("data", "time"))
+
+
+def shard_clip_batch(batch, mesh: Mesh):
+    """Put a host video batch onto a (data, time) mesh with (B, T) leading
+    dims sharded over both axes.  Non-array leaves pass through."""
+    sharding = clip_sharding(mesh)
+
+    def put(x):
+        if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) >= 2:
+            return jax.device_put(x, sharding)
+        return x
+
+    return jax.tree_util.tree_map(put, batch, is_leaf=lambda x: not isinstance(x, dict))
+
+
+def under_mesh(mesh: Mesh, fn):
+    """Wrap ``fn`` so every call runs inside ``jax.set_mesh(mesh)`` — the
+    context the model's ``with_sharding_constraint(P(...))`` calls need at
+    trace time."""
+
+    def wrapped(*args, **kwargs):
+        with jax.set_mesh(mesh):
+            return fn(*args, **kwargs)
+
+    return wrapped

@@ -22,6 +22,7 @@ from unipose_tpu.core.config import DATASETS, ModelConfig, TrainConfig, effectiv
 from unipose_tpu.data.loader import get_dataloader
 from unipose_tpu.eval.metrics import accuracy_from_coords
 from unipose_tpu.eval.report import print_accuracies
+from unipose_tpu.parallel.cp import shard_clip_batch, under_mesh
 from unipose_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from unipose_tpu.train.checkpoint import save_checkpoint, warm_start_from_torch
 from unipose_tpu.train.state import create_train_state
@@ -76,6 +77,26 @@ class Trainer:
                 else (None, None, None)
             )
 
+        self.mesh = mesh or make_mesh(train_config.mesh_shape, train_config.mesh_axes)
+        # Sequence/context parallelism (parallel/cp.py): a model built with
+        # ``spmd_axes`` carries with_sharding_constraint calls that need (a)
+        # a mesh with those axes and (b) tracing under ``jax.set_mesh``;
+        # video batches then shard (B, T) over (data, time), not batch-only.
+        # Validated here, before the (expensive) state init, to fail fast.
+        self.cp = self.video and model_config.spmd_axes is not None
+        if self.cp:
+            missing = [
+                a for a in model_config.spmd_axes
+                if a and a not in self.mesh.axis_names
+            ]
+            if missing:
+                raise ValueError(
+                    f"model_config.spmd_axes={model_config.spmd_axes} needs mesh "
+                    f"axes {missing} but the mesh has {self.mesh.axis_names}; set "
+                    "TrainConfig.mesh_shape/mesh_axes to match, e.g. "
+                    "mesh_shape=(-1, t), mesh_axes=('data', 'time')"
+                )
+
         rng = jax.random.PRNGKey(train_config.seed)
         self.model, self.tx, self.state = create_train_state(
             model_config, train_config, rng, input_size=self.spec.input_size
@@ -100,13 +121,16 @@ class Trainer:
                     f"({train_config.checkpoint_dir})"
                 )
 
-        self.mesh = mesh or make_mesh(train_config.mesh_shape, train_config.mesh_axes)
         self.state = replicate(self.state, self.mesh)
         self.train_step = make_train_step(
             self.model, self.tx, self.spec, video=self.video
         )
         self.eval_step = make_eval_step(self.model, self.spec, video=self.video)
         self.val_step = make_val_step(self.model, self.spec, video=self.video)
+        if self.cp:
+            self.train_step = under_mesh(self.mesh, self.train_step)
+            self.eval_step = under_mesh(self.mesh, self.eval_step)
+            self.val_step = under_mesh(self.mesh, self.val_step)
 
         self.is_best = 0.0
         self.best_pck = 0.0
@@ -135,6 +159,8 @@ class Trainer:
     def _device_batch(self, batch):
         keep = ("image", "frames", "kpts", "centers")
         sub = {k: v for k, v in batch.items() if k in keep}
+        if self.cp:
+            return shard_clip_batch(sub, self.mesh)
         return shard_batch(sub, self.mesh)
 
     def training(self, epoch: int) -> float:
@@ -191,7 +217,8 @@ class Trainer:
                 key: np.concatenate([v, np.repeat(v[-1:], pad_to - n, axis=0)])
                 for key, v in sub.items()
             }
-        return shard_batch(sub, self.mesh), n, pad_to
+        put = shard_clip_batch if self.cp else shard_batch
+        return put(sub, self.mesh), n, pad_to
 
     def validation(self, epoch: int) -> float:
         """TPU-first validation (reference behavior: unipose.py:133-193).
