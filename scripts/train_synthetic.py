@@ -1,0 +1,243 @@
+"""Learning validation: train UniPose on synthetic pose data until held-out
+PCK@0.2 crosses a threshold (VERDICT r3 next-round #1).
+
+Everything piecewise is oracle-pinned elsewhere; this run is the proof that
+the COMPOSED system — loaders, device-side targets, LR schedule, BN
+EMA + donation, dropout keys, loss, eval argmax — actually learns to
+localize.  The reference's analogous evidence is its training recipe
+producing paper numbers (Reference: unipose.py:100-193); real data being
+unfetchable here, the synthetic set (data/synthetic.py) stands in.
+
+Usage (TPU, image variant, ~minutes):
+    python scripts/train_synthetic.py --variant image --size 184 --batch 32
+Usage (CPU mesh, tiny smoke):
+    python scripts/train_synthetic.py --backend cpu --devices 8 \
+        --size 64 --batch 8 --train-samples 64 --val-samples 16 --epochs 8
+
+Prints one JSON line at the end:
+    {"variant": ..., "epochs_to_target": N, "pck": ..., "mAP": ...,
+     "steps": ..., "wall_s": ..., "int8_pck": ...?}
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--variant", default="image", choices=["image", "lstm"])
+    p.add_argument("--size", default=184, type=int,
+                   help="input resolution (stride-8 heatmaps)")
+    p.add_argument("--batch", default=32, type=int)
+    p.add_argument("--val-batch", default=None, type=int)
+    p.add_argument("--train-samples", default=512, type=int,
+                   help="samples (image) or clips (lstm) per epoch")
+    p.add_argument("--val-samples", default=64, type=int)
+    p.add_argument("--frame-memory", default=5, type=int)
+    p.add_argument("--epochs", default=40, type=int)
+    p.add_argument("--target", default=0.95, type=float,
+                   help="held-out PCK@0.2 threshold to stop at")
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--sigma", default=None, type=float,
+                   help="target Gaussian sigma override (default: spec's 3.0; "
+                        "heatmaps at reduced input sizes are relatively "
+                        "coarser, so a sharper sigma can be appropriate)")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--int8-study", action="store_true",
+                   help="after training, evaluate the w8a8 int8 front end's "
+                        "PCK on the same held-out set (image variant)")
+    p.add_argument("--time-parallel", default=1, type=int,
+                   help="lstm only: CP mesh (-1, n) — the learning run under "
+                        "sequence parallelism")
+    p.add_argument("--backend", default=None, choices=[None, "cpu"],
+                   help="cpu = virtual device mesh (tests); default = real")
+    p.add_argument("--devices", default=8, type=int,
+                   help="virtual device count with --backend cpu")
+    p.add_argument("--out", default=None, type=str,
+                   help="write the JSON result line to this file too")
+    return p
+
+
+def eval_pck(forward, loader, spec, dataset="LSP", video=False):
+    """Held-out PCK/PCKh/mAP with the production metric semantics
+    (per-frame accuracy_from_coords + visibility-gated running means,
+    exactly Trainer.validation's accumulation)."""
+    import numpy as np
+
+    from unipose_tpu.eval.metrics import accuracy_from_coords, get_max_preds
+    from unipose_tpu.train.steps import make_targets, preprocess_images
+
+    hm = spec.heatmap_size
+    k = spec.num_joints
+    AP = np.zeros(k + 1)
+    PCK = np.zeros(k + 1)
+    PCKh = np.zeros(k + 1)
+    count = np.zeros(k + 1)
+    frames = []
+    for batch in loader:
+        import jax.numpy as jnp
+
+        if video:
+            out = forward(batch)  # (B, T, h, w, K+1)
+            tgt_hm = np.asarray(make_targets(jnp.asarray(batch["kpts"]), spec))
+            b, t = out.shape[:2]
+            for i in range(b):
+                for j in range(t):
+                    p, _ = get_max_preds(np.asarray(out[i, j])[None])
+                    g, _ = get_max_preds(tgt_hm[i, j][None])
+                    frames.append((p[0], g[0]))
+        else:
+            out = forward(batch)  # (B, h, w, K+1)
+            tgt_hm = np.asarray(make_targets(jnp.asarray(batch["kpts"]), spec))
+            for i in range(out.shape[0]):
+                p, _ = get_max_preds(np.asarray(out[i])[None])
+                g, _ = get_max_preds(tgt_hm[i][None])
+                frames.append((p[0], g[0]))
+    for idx, (p, g) in enumerate(frames):
+        acc, acc_pck, acc_pckh, _, _, visible = accuracy_from_coords(
+            p[None], g[None], hm, hm, 0.2, 0.5, dataset
+        )
+        AP[0] = (AP[0] * idx + acc[0]) / (idx + 1)
+        PCK[0] = (PCK[0] * idx + acc_pck[0]) / (idx + 1)
+        PCKh[0] = (PCKh[0] * idx + acc_pckh[0]) / (idx + 1)
+        for j in range(1, k + 1):
+            if visible[j] == 1:
+                AP[j] = (AP[j] * count[j] + acc[j]) / (count[j] + 1)
+                PCK[j] = (PCK[j] * count[j] + acc_pck[j]) / (count[j] + 1)
+                PCKh[j] = (PCKh[j] * count[j] + acc_pckh[j]) / (count[j] + 1)
+                count[j] += 1
+    return {
+        "mAP": AP[1:].sum() / k,
+        "mPCK": PCK[1:].sum() / k,
+        "mPCKh": PCKh[1:].sum() / k,
+    }
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    if args.backend == "cpu":
+        from unipose_tpu.utils.platform import force_cpu_platform
+
+        force_cpu_platform(args.devices)
+
+    import jax.numpy as jnp
+
+    from unipose_tpu.core.config import DATASETS, ModelConfig, TrainConfig
+    from unipose_tpu.data.synthetic import make_loaders
+    from unipose_tpu.train.trainer import Trainer
+
+    video = args.variant == "lstm"
+    spec = dataclasses.replace(DATASETS["LSP"], input_size=args.size)
+    model_config = ModelConfig(
+        dataset="LSP",
+        num_classes=14,
+        variant="lstm" if video else "image",
+        frame_memory=args.frame_memory,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    mesh_shape, mesh_axes = (-1,), ("data",)
+    if args.time_parallel > 1:
+        if not video:
+            raise SystemExit("--time-parallel needs --variant lstm")
+        model_config = dataclasses.replace(
+            model_config, spmd_axes=("data", "time")
+        )
+        mesh_shape, mesh_axes = (-1, args.time_parallel), ("data", "time")
+    train_config = TrainConfig(
+        batch_size=args.batch,
+        lr=args.lr,
+        sigma=args.sigma,
+        epochs=args.epochs,
+        seed=args.seed,
+        model_name="",  # no best-checkpoint writes
+        mesh_shape=mesh_shape,
+        mesh_axes=mesh_axes,
+        val_batch_size=args.val_batch or args.batch,
+    )
+    loaders = make_loaders(
+        args.variant,
+        input_size=args.size,
+        train_samples=args.train_samples,
+        val_samples=args.val_samples,
+        batch_size=args.batch,
+        val_batch_size=args.val_batch or args.batch,
+        frame_memory=args.frame_memory,
+        seed=args.seed,
+    )
+    trainer = Trainer(model_config, train_config, spec=spec, loaders=loaders)
+
+    t0 = time.time()
+    result = {"variant": args.variant, "size": args.size,
+              "batch": args.batch, "target": args.target,
+              "epochs_to_target": None}
+    mAP = 0.0
+    for epoch in range(args.epochs):
+        loss = trainer.training(epoch)
+        mAP = trainer.validation(epoch)
+        print(
+            f"[epoch {epoch}] loss {loss:.5f} mAP {mAP:.4f} "
+            f"PCK@0.2 {trainer.best_pck:.4f} ({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+        if trainer.best_pck >= args.target and result["epochs_to_target"] is None:
+            result["epochs_to_target"] = epoch + 1
+            break
+    result.update(
+        pck=round(float(trainer.best_pck), 4),
+        pckh=round(float(trainer.best_pckh), 4),
+        mAP=round(float(mAP), 4),
+        steps=int(trainer.state.step),
+        wall_s=round(time.time() - t0, 1),
+    )
+
+    if args.int8_study and not video:
+        # Int8 accuracy at the TASK level on trained weights (VERDICT r3
+        # next-round #2): same held-out set, same metric path, bf16 tower
+        # with the w8a8 front end vs the trained f32/bf16 model.
+        import jax
+
+        from unipose_tpu.models.quantized import int8_forward_fn
+        from unipose_tpu.train.steps import preprocess_images
+
+        variables = {
+            "params": trainer.state.params,
+            "batch_stats": trainer.state.batch_stats,
+        }
+        calib = next(iter(loaders[1]))
+        calib_x = preprocess_images(jnp.asarray(calib["image"]))
+        _, fwd_int8 = int8_forward_fn(variables, calib_x, num_classes=14)
+
+        @jax.jit
+        def fwd_ref(x):
+            return trainer.model.apply(variables, x, train=False)
+
+        def fw_base(batch):
+            return fwd_ref(preprocess_images(jnp.asarray(batch["image"])))
+
+        def fw_q(batch):
+            return fwd_int8(preprocess_images(jnp.asarray(batch["image"])))
+
+        base = eval_pck(fw_base, loaders[1], trainer.spec)
+        quant = eval_pck(fw_q, loaders[1], trainer.spec)
+        result["base_pck"] = round(float(base["mPCK"]), 4)
+        result["int8_pck"] = round(float(quant["mPCK"]), 4)
+        result["int8_pck_delta"] = round(
+            float(quant["mPCK"] - base["mPCK"]), 4
+        )
+
+    line = json.dumps(result)
+    print(line, flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    return result
+
+
+if __name__ == "__main__":
+    main()

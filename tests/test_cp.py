@@ -44,8 +44,9 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
-from unipose_tpu.core.config import DATASETS, ModelConfig
+from unipose_tpu.core.config import DATASETS, ModelConfig, TrainConfig
 from unipose_tpu.models.unipose import build_model
 from unipose_tpu.parallel.cp import (
     make_video_mesh,
@@ -401,7 +402,9 @@ def test_apply_time_parallel_configs():
     from unipose_tpu.cli.train import apply_time_parallel
     from unipose_tpu.core.config import TrainConfig
 
-    mc = ModelConfig(dataset="Penn_Action", num_classes=13, variant="lstm")
+    mc = ModelConfig(
+        dataset="Penn_Action", num_classes=13, variant="lstm", frame_memory=4
+    )
     tc = TrainConfig(batch_size=1)
     mc2, tc2 = apply_time_parallel(mc, tc, 4)
     assert mc2.spmd_axes == ("data", "time")
@@ -517,3 +520,39 @@ def test_cp_streaming_state_carries_under_time_sharding(rng, cp_models):
             outs.append(np.asarray(heat))
     got = np.concatenate(outs, axis=1)
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-4)
+
+
+def test_apply_time_parallel_validates_divisibility(eight_devices):
+    """--time_parallel must divide both the device count and frame_memory
+    (ADVICE r3: 8 chips with --time_parallel 3 silently trained on 6)."""
+    from unipose_tpu.cli.train import apply_time_parallel
+
+    mc = ModelConfig(
+        dataset="Penn_Action", num_classes=13, variant="lstm", frame_memory=5
+    )
+    tc = TrainConfig(batch_size=1)
+    with pytest.raises(SystemExit, match="device count"):
+        apply_time_parallel(mc, tc, 3)  # 8 % 3 != 0
+    with pytest.raises(SystemExit, match="frame_memory"):
+        apply_time_parallel(mc, tc, 4)  # 5 % 4 != 0
+    mc4 = dataclasses.replace(mc, frame_memory=4)
+    mc2, tc2 = apply_time_parallel(mc4, tc, 4)
+    assert tc2.mesh_shape == (-1, 4)
+
+
+def test_shard_clip_batch_low_rank_leaves_shard_data_only(eight_devices):
+    """Leaves with ndim < 3 cannot be (B, T, ...) clip tensors; they shard
+    over 'data' only (a (B, features) leaf must never have its feature dim
+    spread over 'time' — ADVICE r3)."""
+    mesh = make_video_mesh(2, 4)
+    batch = {
+        "frames": np.zeros((2, 4, 8, 8, 3), np.float32),
+        "centers": np.zeros((2, 4, 2), np.float32),
+        "clip_label": np.zeros((2, 6), np.float32),
+        "paths": ["a", "b"],
+    }
+    out = shard_clip_batch(batch, mesh)
+    assert out["frames"].sharding.spec == P("data", "time")
+    assert out["centers"].sharding.spec == P("data", "time")
+    assert out["clip_label"].sharding.spec == P("data")
+    assert out["paths"] == ["a", "b"]

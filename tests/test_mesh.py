@@ -176,3 +176,17 @@ print("SMOKE_OK", jax.process_index(), float(got.sum()), flush=True)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"SMOKE_OK {pid} 3.0" in out, out
+
+
+def test_make_mesh_rejects_stranded_devices(eight_devices):
+    """A mesh whose shape divides the device count unevenly silently leaves
+    chips idle (ADVICE r3: (-1, 3) on 8 chips trained on 6 with no warning);
+    exact smaller meshes stay allowed (the single-chip (1,) default)."""
+    with pytest.raises(ValueError, match="strand"):
+        make_mesh((-1, 3), ("data", "time"))
+    with pytest.raises(ValueError, match="strand"):
+        make_mesh((3,), ("data",))
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh((16,), ("data",))
+    assert make_mesh((1,), ("data",)).devices.shape == (1,)
+    assert make_mesh((2,), ("data",)).devices.shape == (2,)

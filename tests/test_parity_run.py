@@ -1,0 +1,97 @@
+"""End-to-end test of the one-command parity harness (cli/parity_run.py).
+
+A synthetic torch checkpoint (random reference weights, saved exactly like
+the reference's ``save_checkpoint`` — utils/utils.py:53-56) plus fixture
+LSP data stand in for the real released artifacts: with the SAME weights on
+both sides, the harness must conclude PARITY PASS with Δ == 0 and a tiny
+heatmap deviation.  The day real artifacts are available, parity is this
+one command (docs/ROADMAP.md)."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+import scipy.io  # noqa: E402
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "model")),
+    reason="reference repo not mounted",
+)
+
+
+def _make_lsp_val_root(tmp_path, n):
+    """Minimal on-disk LSP val layout (images/ + joints.mat, 'lsp' (3,14,N)
+    transposed format with inverted visibility — utils/lsp_lspet_data.py:36)."""
+    root = tmp_path / "lsp"
+    rng = np.random.RandomState(0)
+    os.makedirs(root / "images", exist_ok=True)
+    for i in range(n):
+        cv2.imwrite(
+            str(root / "images" / f"im{i + 1:04d}.jpg"),
+            rng.randint(0, 255, (90, 100, 3), np.uint8),
+        )
+    joints = np.zeros((3, 14, n))
+    joints[0] = rng.uniform(10, 90, (14, n))
+    joints[1] = rng.uniform(10, 80, (14, n))
+    joints[2] = 0.0  # visible (lsp layout inverts)
+    scipy.io.savemat(str(root / "joints.mat"), {"joints": joints})
+    return str(root)
+
+
+@pytest.mark.slow
+def test_parity_run_same_weights_pass(tmp_path):
+    import sys
+
+    torch = pytest.importorskip("torch")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import model.modules.backbone.resnet as ref_resnet
+
+    ref_resnet.model_zoo.load_url = lambda *a, **k: {}
+    import model.unipose as ref_unipose
+
+    torch.manual_seed(0)
+    net = ref_unipose.unipose("LSP", num_classes=14, stride=8)
+    # perturb BN running stats so the converter's BN path is exercised
+    g = torch.Generator().manual_seed(1)
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.copy_(0.05 * torch.randn(m.running_mean.shape, generator=g))
+                m.running_var.copy_(0.9 + 0.2 * torch.rand(m.running_var.shape, generator=g))
+    ckpt = tmp_path / "unipose_synthetic.pth.tar"
+    torch.save({"state_dict": net.state_dict()}, str(ckpt))
+
+    val_dir = _make_lsp_val_root(tmp_path, 2)
+    out = tmp_path / "verdict.json"
+
+    from unipose_tpu.cli.parity_run import main
+
+    verdict = main([
+        "--torch_ckpt", str(ckpt),
+        "--val_dir", val_dir,
+        "--dataset", "LSP",
+        "--max_samples", "2",
+        "--out", str(out),
+    ])
+    assert verdict["pass"] is True
+    assert verdict["n"] == 2
+    # same weights on both sides: identical metric, near-identical heatmaps
+    assert abs(verdict["delta_pt"]) < 1e-9
+    assert verdict["worst_joint_delta_pt"] < 1e-9
+    assert verdict["heatmap_maxnorm_rel_err"] < 5e-4
+    assert os.path.exists(out)
+
+
+def test_parity_run_fails_fast_without_artifacts(tmp_path):
+    from unipose_tpu.cli.parity_run import main
+
+    with pytest.raises(SystemExit, match="torch_ckpt"):
+        main([
+            "--torch_ckpt", str(tmp_path / "missing.pth.tar"),
+            "--val_dir", str(tmp_path),
+        ])

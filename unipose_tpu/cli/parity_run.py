@@ -1,0 +1,369 @@
+"""One-command pretrained-weight parity harness (VERDICT r3 next-round #4).
+
+The definition of "matching the reference" (BASELINE.md) is PCK@0.2 within
+0.1pt of the PyTorch reference on identical data.  The released checkpoints
+and datasets are not fetchable in the build environment, so this command
+makes parity a single invocation for the day the artifacts are available:
+
+    python -m unipose_tpu.cli.parity_run \
+        --torch_ckpt UniPose_LSP.pth.tar --val_dir /data/lsp --dataset LSP
+
+It (1) prepares identical inputs once through our production val loader,
+(2) runs the REFERENCE torch model on them in a clean subprocess (torch and
+the tunnel TPU plugin deadlock in one process; the worker imports only
+torch+numpy and the live reference at /root/reference or --reference),
+(3) runs our model warm-started from the same checkpoint, (4) scores BOTH
+heatmap sets with the same metric path and prints the per-joint Δ table
+with a pass/fail against the tolerance.
+
+Reference eval loop being reproduced: unipose.py:133-193 (image),
+uniposeLSTM.py:140-215 (video rollout), with the checkpoint's
+key-intersection load semantics (unipose.py:79-90).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Reference-side worker (runs in a subprocess, torch-only — never imports
+# jax or unipose_tpu, so the tunnel TPU plugin is never initialized there).
+# ---------------------------------------------------------------------------
+
+_REF_WORKER_SRC = r'''
+import json, sys
+
+import numpy as np
+import torch
+
+inputs_npz, ckpt_path, out_npz, ref_root, variant, dataset, num_classes = (
+    sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5],
+    sys.argv[6], int(sys.argv[7]),
+)
+sys.path.insert(0, ref_root)
+
+import model.modules.backbone.resnet as ref_resnet
+
+# no ImageNet download (resnet.py:142); the checkpoint supplies every weight
+ref_resnet.model_zoo.load_url = lambda *a, **k: {}
+torch.Tensor.cuda = lambda self, *a, **k: self  # CPU run (uniposeLSTM.py:99-104)
+
+data = np.load(inputs_npz)
+
+if variant == "image":
+    import model.unipose as ref_mod
+
+    net = ref_mod.unipose(dataset, num_classes=num_classes, stride=8)
+else:
+    import model.uniposeLSTM as ref_mod
+
+    net = ref_mod.unipose(num_classes=num_classes, stride=8)
+
+# key-intersection checkpoint load (Reference: unipose.py:79-90)
+state = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+sd = state.get("state_dict", state) if isinstance(state, dict) else state
+sd = { (k[7:] if k.startswith("module.") else k): v for k, v in sd.items() }
+model_sd = net.state_dict()
+matched = {k: v for k, v in sd.items()
+           if k in model_sd and model_sd[k].shape == tuple(v.shape)}
+model_sd.update(matched)
+net.load_state_dict(model_sd)
+net.eval()
+
+outs = []
+with torch.no_grad():
+    if variant == "image":
+        x = torch.from_numpy(data["x"])  # (N, 3, H, W) normalized
+        for i in range(0, x.shape[0], 4):
+            outs.append(net(x[i : i + 4]).numpy())
+        heat = np.concatenate(outs)  # (N, K+1, h, w)
+    else:
+        frames = torch.from_numpy(data["x"])        # (N, T, 3, H, W)
+        centers = torch.from_numpy(data["centers"])  # (N, T, 1, H, W)
+        n, t = frames.shape[:2]
+        per_clip = []
+        for i in range(n):
+            heat_t = torch.zeros(1, num_classes + 1, 46, 46)
+            hide = torch.zeros(1, num_classes + 2, 46, 46)
+            cell = torch.zeros(1, num_classes + 2, 46, 46)
+            fr = frames[i : i + 1]
+            cm = centers[i : i + 1]
+            heats = []
+            for j in range(t):  # rollout loop (uniposeLSTM.py:124-128)
+                heat_t, cell, hide = net(fr, cm, j, heat_t, hide, cell)
+                heats.append(heat_t.numpy())
+            per_clip.append(np.stack(heats, 1))
+        heat = np.concatenate(per_clip)  # (N, T, K+1, 46, 46)
+
+np.savez_compressed(out_npz, heat=heat)
+print(json.dumps({"n": int(heat.shape[0]), "matched_keys": len(matched),
+                  "ckpt_keys": len(sd)}))
+'''
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="pretrained-weight parity harness")
+    p.add_argument("--torch_ckpt", required=True, type=str)
+    p.add_argument("--val_dir", required=True, type=str)
+    p.add_argument("--dataset", default="LSP", type=str)
+    p.add_argument("--model_arch", default="unipose",
+                   choices=["unipose", "uniposeLSTM"])
+    p.add_argument("--frame_memory", default=5, type=int)
+    p.add_argument("--reference", default="/root/reference", type=str,
+                   help="path to the PyTorch reference checkout")
+    p.add_argument("--max_samples", default=256, type=int,
+                   help="cap on evaluated samples/clips (0 = all)")
+    p.add_argument("--tolerance_pt", default=0.1, type=float,
+                   help="pass threshold on |ΔPCK| in percentage points")
+    p.add_argument("--out", default=None, type=str,
+                   help="write the JSON verdict here as well")
+    return p
+
+
+def _collect_inputs(args, spec, video):
+    """Identical-inputs guarantee: ONE pass through our production val
+    loader; both sides consume the exact arrays collected here."""
+    from unipose_tpu.data.loader import get_dataloader
+
+    _, val_loader, _ = get_dataloader(
+        args.dataset,
+        None,
+        args.val_dir,
+        spec.sigma,
+        spec.stride,
+        1,
+        1,
+        frame_memory=args.frame_memory if video else None,
+        val_batch_size=1,
+    )
+    if val_loader is None:
+        raise SystemExit(f"no val split found under {args.val_dir!r}")
+    images, kpts, centers = [], [], []
+    for batch in val_loader:
+        key = "frames" if video else "image"
+        images.append(np.asarray(batch[key], np.float32))
+        kpts.append(np.asarray(batch["kpts"], np.float32))
+        if video:
+            centers.append(np.asarray(batch["centers"], np.float32))
+        if args.max_samples and sum(b.shape[0] for b in images) >= args.max_samples:
+            break
+    images = np.concatenate(images)[: args.max_samples or None]
+    kpts = np.concatenate(kpts)[: args.max_samples or None]
+    centers = (
+        np.concatenate(centers)[: args.max_samples or None] if video else None
+    )
+    return images, kpts, centers
+
+
+def _run_reference(args, x_nchw, centers_nchw, num_classes, workdir):
+    inputs_npz = os.path.join(workdir, "inputs.npz")
+    out_npz = os.path.join(workdir, "ref_heat.npz")
+    payload = {"x": x_nchw}
+    if centers_nchw is not None:
+        payload["centers"] = centers_nchw
+    np.savez_compressed(inputs_npz, **payload)
+    worker = os.path.join(workdir, "ref_worker.py")
+    with open(worker, "w") as f:
+        f.write(_REF_WORKER_SRC)
+    variant = "video" if centers_nchw is not None else "image"
+    proc = subprocess.run(
+        [sys.executable, worker, inputs_npz, args.torch_ckpt, out_npz,
+         args.reference, variant, args.dataset, str(num_classes)],
+        capture_output=True,
+        text=True,
+    )
+    if proc.returncode != 0:
+        raise SystemExit(
+            f"reference worker failed:\n{proc.stdout}\n{proc.stderr}"
+        )
+    info = json.loads(proc.stdout.strip().splitlines()[-1])
+    return np.load(out_npz)["heat"], info
+
+
+def _per_joint_pck(heats, target_coords, hm, dataset, k):
+    """Visibility-gated running-mean per-joint PCK@0.2 over frames —
+    the reference accumulation (unipose.py:163-176).  ``heats`` is
+    (N, h, w, K+1) channel-last."""
+    from unipose_tpu.eval.metrics import accuracy_from_coords, get_max_preds
+
+    PCK = np.zeros(k + 1)
+    count = np.zeros(k + 1)
+    PCK0_n = 0
+    for i in range(heats.shape[0]):
+        p, _ = get_max_preds(heats[i][None])
+        acc, acc_pck, _, _, _, visible = accuracy_from_coords(
+            p[0][None], target_coords[i][None], hm, hm, 0.2, 0.5, dataset
+        )
+        PCK[0] = (PCK[0] * PCK0_n + acc_pck[0]) / (PCK0_n + 1)
+        PCK0_n += 1
+        for j in range(1, k + 1):
+            if visible[j] == 1:
+                PCK[j] = (PCK[j] * count[j] + acc_pck[j]) / (count[j] + 1)
+                count[j] += 1
+    return PCK
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    if not os.path.exists(args.torch_ckpt):
+        raise SystemExit(f"--torch_ckpt not found: {args.torch_ckpt!r}")
+    if not os.path.isdir(os.path.join(args.reference, "model")):
+        raise SystemExit(
+            f"reference checkout not found at {args.reference!r} "
+            "(need its model/ package for the torch side)"
+        )
+
+    from unipose_tpu.core.config import DATASETS
+    from unipose_tpu.train.steps import MEAN, STD
+
+    spec = DATASETS[args.dataset]
+    video = args.model_arch == "uniposeLSTM"
+    k = spec.num_joints
+
+    images, kpts, centers = _collect_inputs(args, spec, video)
+    n = images.shape[0]
+    print(f"collected {n} {'clips' if video else 'samples'} from {args.val_dir}")
+
+    # normalized NCHW for the torch side ((x-128)/256, lsp_lspet_data.py:242)
+    x_norm = (images - MEAN) / STD
+    if video:
+        x_nchw = np.moveaxis(x_norm, -1, 2)  # (N, T, 3, H, W)
+    else:
+        x_nchw = np.moveaxis(x_norm, -1, 1)  # (N, 3, H, W)
+
+    centers_nchw = None
+    centermaps = None
+    if video:
+        import jax.numpy as jnp
+
+        from unipose_tpu.train.steps import make_centermaps
+
+        centermaps = np.asarray(make_centermaps(jnp.asarray(centers), spec))
+        centers_nchw = np.moveaxis(centermaps, -1, 2)  # (N, T, 1, H, W)
+
+    with tempfile.TemporaryDirectory() as workdir:
+        ref_heat, info = _run_reference(
+            args, x_nchw, centers_nchw, k, workdir
+        )
+    print(
+        f"reference side done: {info['matched_keys']}/{info['ckpt_keys']} "
+        "checkpoint keys matched (key-intersection load)"
+    )
+
+    # --- our side: same checkpoint, same inputs ---
+    import jax
+    import jax.numpy as jnp
+
+    from unipose_tpu.compat.torch_convert import (
+        convert_state_dict,
+        load_torch_checkpoint,
+    )
+    from unipose_tpu.core.config import ModelConfig
+    from unipose_tpu.models.unipose import init_model
+    from unipose_tpu.train.steps import make_targets
+
+    config = ModelConfig(
+        dataset=args.dataset,
+        num_classes=k,
+        variant="lstm" if video else "image",
+        frame_memory=args.frame_memory,
+    )
+    model, variables = init_model(config, jax.random.PRNGKey(0), input_size=64)
+    variables, report = convert_state_dict(
+        load_torch_checkpoint(args.torch_ckpt),
+        variables,
+        variant="lstm" if video else "image",
+    )
+    print(
+        f"our side: {len(report['converted'])} keys converted, "
+        f"{len(report['skipped'])} skipped"
+    )
+
+    if video:
+        fwd = jax.jit(lambda f, c: model.apply(variables, f, c, train=False))
+        ours = []
+        for i in range(n):
+            ours.append(
+                np.asarray(
+                    fwd(jnp.asarray(x_norm[i : i + 1]),
+                        jnp.asarray(centermaps[i : i + 1]))
+                )
+            )
+        our_heat = np.concatenate(ours)  # (N, T, h, w, K+1)
+    else:
+        fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
+        ours = []
+        for i in range(0, n, 8):
+            ours.append(np.asarray(fwd(jnp.asarray(x_norm[i : i + 8]))))
+        our_heat = np.concatenate(ours)  # (N, h, w, K+1)
+
+    # --- identical scoring for both sides ---
+    hm = spec.heatmap_size
+    targets = np.asarray(make_targets(jnp.asarray(kpts), spec))
+    from unipose_tpu.eval.metrics import get_max_preds
+
+    if video:
+        b, t = targets.shape[:2]
+        flat = lambda a: a.reshape((b * t,) + a.shape[2:])  # noqa: E731
+        targets_f = flat(targets)
+        our_f = flat(our_heat)
+        ref_f = flat(np.moveaxis(ref_heat, 2, -1))
+    else:
+        targets_f, our_f = targets, our_heat
+        ref_f = np.moveaxis(ref_heat, 1, -1)
+
+    tgt_coords = np.stack(
+        [get_max_preds(targets_f[i][None])[0][0] for i in range(targets_f.shape[0])]
+    )
+    pck_ref = _per_joint_pck(ref_f, tgt_coords, hm, args.dataset, k)
+    pck_ours = _per_joint_pck(our_f, tgt_coords, hm, args.dataset, k)
+
+    scale = np.abs(ref_f).max() or 1.0
+    heat_err = float(np.abs(our_f - ref_f).max() / scale)
+
+    names = ("(background avg)",) + spec.joint_names
+    print(f"\n{'joint':<18} {'ref PCK':>8} {'ours':>8} {'Δ (pt)':>8}")
+    for j in range(k + 1):
+        d = (pck_ours[j] - pck_ref[j]) * 100
+        print(f"{names[j] if j < len(names) else j:<18} "
+              f"{pck_ref[j] * 100:8.2f} {pck_ours[j] * 100:8.2f} {d:8.3f}")
+    m_ref = pck_ref[1:].sum() / k * 100
+    m_ours = pck_ours[1:].sum() / k * 100
+    delta_pt = m_ours - m_ref
+    worst_pt = float(np.abs(pck_ours[1:] - pck_ref[1:]).max() * 100)
+    ok = abs(delta_pt) <= args.tolerance_pt
+    verdict = {
+        "dataset": args.dataset,
+        "n": int(n),
+        "mPCK_ref": round(m_ref, 3),
+        "mPCK_ours": round(m_ours, 3),
+        "delta_pt": round(delta_pt, 3),
+        "worst_joint_delta_pt": round(worst_pt, 3),
+        "heatmap_maxnorm_rel_err": round(heat_err, 6),
+        "tolerance_pt": args.tolerance_pt,
+        "pass": bool(ok),
+    }
+    print(
+        f"\nmPCK ref {m_ref:.2f}%  ours {m_ours:.2f}%  Δ {delta_pt:+.3f}pt "
+        f"(worst joint {worst_pt:.3f}pt, heatmap max-norm err {heat_err:.2e})"
+    )
+    print("PARITY PASS" if ok else "PARITY FAIL")
+    line = json.dumps(verdict)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    if not ok:
+        raise SystemExit(2)
+    return verdict
+
+
+if __name__ == "__main__":
+    main()

@@ -63,6 +63,21 @@ def apply_time_parallel(model_config, train_config, n_time: int):
         return model_config, train_config
     if model_config.variant != "lstm":
         raise SystemExit("--time_parallel applies to --model_arch uniposeLSTM only")
+    import jax
+
+    n_dev = jax.device_count()
+    if n_dev % n_time != 0:
+        raise SystemExit(
+            f"--time_parallel {n_time} does not divide the device count "
+            f"{n_dev}: a (-1, {n_time}) mesh would strand "
+            f"{n_dev % n_time} chip(s)"
+        )
+    if model_config.frame_memory % n_time != 0:
+        raise SystemExit(
+            f"--time_parallel {n_time} does not divide --frame_memory "
+            f"{model_config.frame_memory}: frames of one clip cannot shard "
+            "evenly over the 'time' axis"
+        )
     return (
         dataclasses.replace(model_config, spmd_axes=("data", "time")),
         dataclasses.replace(

@@ -154,7 +154,14 @@ class ModelConfig:
     output_stride: int = 16
     stride: int = 8
     variant: str = "image"  # "image" | "lstm"
-    sync_bn: bool = False  # real cross-replica BN (the reference flag is a no-op)
+    # Cross-replica BatchNorm.  The reference accepts this flag and ignores
+    # it (model/unipose.py:14, SURVEY §2.2); here BOTH settings are real:
+    # True (default) = statistics over the global sharded batch (automatic
+    # under GSPMD, exact — tests/test_sync_bn.py); False = per-shard
+    # statistics (the Trainer builds the model with one BN stat group per
+    # data-parallel shard — TorchBatchNorm.stat_groups; torch-DDP-without-
+    # SyncBN semantics, sometimes wanted as ghost-batch regularization).
+    sync_bn: bool = True
     # Fine-tune with BN frozen to running stats (the reference accepts this
     # flag but its freeze_bn() crashes on an undefined name upstream —
     # model/unipose.py:24-25,:40-45; here it works, and saves the BN-train

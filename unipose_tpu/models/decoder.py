@@ -30,18 +30,19 @@ class _LastConv(nn.Module):
 
     out_channels: int
     freeze_bn: bool = False
+    bn_groups: int = 1  # per-group (ghost) BN statistics; see TorchBatchNorm.stat_groups
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
         use_ra = (not train) or self.freeze_bn
         x = Conv(256, 3, padding=1, dtype=self.dtype, name="0")(x)
-        x = TorchBatchNorm(dtype=self.dtype, name="1")(x, use_running_average=use_ra)
+        x = TorchBatchNorm(stat_groups=self.bn_groups, dtype=self.dtype, name="1")(x, use_running_average=use_ra)
         x = nn.relu(x)
         if train:
             x = nn.Dropout(0.5, deterministic=False)(x)
         x = Conv(256, 3, padding=1, dtype=self.dtype, name="4")(x)
-        x = TorchBatchNorm(dtype=self.dtype, name="5")(x, use_running_average=use_ra)
+        x = TorchBatchNorm(stat_groups=self.bn_groups, dtype=self.dtype, name="5")(x, use_running_average=use_ra)
         x = nn.relu(x)
         if train:
             x = nn.Dropout(0.1, deterministic=False)(x)
@@ -55,6 +56,7 @@ class Decoder(nn.Module):
     # unipose_tpu.postproc.multi_person.
     bbox_head: bool = False
     freeze_bn: bool = False
+    bn_groups: int = 1  # per-group (ghost) BN statistics; see TorchBatchNorm.stat_groups
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -62,7 +64,7 @@ class Decoder(nn.Module):
         self, x: jnp.ndarray, low_level_feat: jnp.ndarray, *, train: bool
     ) -> jnp.ndarray:
         llf = Conv(48, 1, dtype=self.dtype, name="conv1")(low_level_feat)
-        llf = TorchBatchNorm(dtype=self.dtype, name="bn1")(
+        llf = TorchBatchNorm(stat_groups=self.bn_groups, dtype=self.dtype, name="bn1")(
             llf, use_running_average=(not train) or self.freeze_bn
         )
         llf = nn.relu(llf)
@@ -72,5 +74,5 @@ class Decoder(nn.Module):
         x = jnp.concatenate([x, llf], axis=-1)
         out_ch = self.num_classes + 1 + (5 if self.bbox_head else 0)
         return _LastConv(
-            out_ch, freeze_bn=self.freeze_bn, dtype=self.dtype, name="last_conv"
+            out_ch, freeze_bn=self.freeze_bn, bn_groups=self.bn_groups, dtype=self.dtype, name="last_conv"
         )(x, train=train)

@@ -13,6 +13,7 @@ from typing import Any, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -28,8 +29,19 @@ class TorchBatchNorm(nn.Module):
       plain ``nn.BatchNorm2d`` everywhere; its ``sync_bn`` flag is accepted
       and ignored).
     * ``axis_name``: when set (and training), batch moments are averaged
-      across that mesh axis with ``lax.pmean`` — this makes ``sync_bn=True``
-      actually mean something on a TPU mesh (SURVEY §2.2).
+      across that mesh axis with ``lax.pmean`` — the explicit-collective
+      sync path for ``shard_map`` contexts (SURVEY §2.2).
+    * ``stat_groups``: when > 1 (and training), the leading batch axis is
+      split into that many contiguous groups and each group normalizes with
+      its OWN statistics — per-shard ("ghost") BatchNorm.  With groups equal
+      to the data-parallel shard count and the batch sharded contiguously
+      over the mesh (GSPMD's layout), each group's reduction is local to one
+      device, so this is exactly what ``sync_bn=False`` means on a
+      multi-GPU torch DDP run: BN statistics over the per-device sub-batch
+      only, no cross-replica collective.  Running stats update with the
+      POOLED global moments (group means averaged; variance pooled about
+      the global mean), keeping the replicated EMA state consistent and
+      equal in expectation to the synced path.
 
     Statistics are always computed in f32 regardless of compute dtype.
     """
@@ -37,6 +49,7 @@ class TorchBatchNorm(nn.Module):
     momentum: float = 0.1
     eps: float = 1e-5
     axis_name: Optional[str] = None
+    stat_groups: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -50,6 +63,36 @@ class TorchBatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "running_var", lambda: jnp.ones((c,), jnp.float32)
         )
+
+        g = self.stat_groups
+        grouped = g > 1 and not use_running_average and not self.is_initializing()
+        if grouped:
+            if self.axis_name is not None:
+                raise ValueError("stat_groups and axis_name are mutually exclusive")
+            b = x.shape[0]
+            if b % g != 0:
+                raise ValueError(
+                    f"batch {b} is not divisible by stat_groups={g}"
+                )
+            xf = x.astype(jnp.float32).reshape((g, b // g) + x.shape[1:])
+            reduce_axes = tuple(range(1, xf.ndim - 1))
+            mean_g = jnp.mean(xf, axis=reduce_axes)              # (g, C)
+            mean_sq_g = jnp.mean(jnp.square(xf), axis=reduce_axes)
+            var_g = mean_sq_g - jnp.square(mean_g)  # biased, per group
+            bshape = (g,) + (1,) * (xf.ndim - 2) + (c,)
+            y = (xf - mean_g.reshape(bshape)) * jax.lax.rsqrt(
+                var_g.reshape(bshape) + self.eps
+            )
+            y = (y * scale + bias).reshape(x.shape)
+            # EMA: pooled global moments (identical to the g=1 stats).
+            mean = jnp.mean(mean_g, axis=0)
+            var = jnp.mean(mean_sq_g, axis=0) - jnp.square(mean)
+            n = float(np.prod([x.shape[a] for a in range(x.ndim - 1)]))
+            unbiased = var * (n / max(n - 1.0, 1.0))
+            m = self.momentum
+            ra_mean.value = (1 - m) * ra_mean.value + m * mean
+            ra_var.value = (1 - m) * ra_var.value + m * unbiased
+            return y.astype(self.dtype or x.dtype)
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value

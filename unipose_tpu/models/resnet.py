@@ -64,13 +64,14 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     has_downsample: bool = False
     freeze_bn: bool = False
+    bn_groups: int = 1  # per-group (ghost) BN statistics; see TorchBatchNorm.stat_groups
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
         use_ra = (not train) or self.freeze_bn
         out = Conv(self.planes, 1, dtype=self.dtype, name="conv1")(x)
-        out = TorchBatchNorm(dtype=self.dtype, name="bn1")(out, use_running_average=use_ra)
+        out = TorchBatchNorm(stat_groups=self.bn_groups, dtype=self.dtype, name="bn1")(out, use_running_average=use_ra)
         out = nn.relu(out)
         out = Conv(
             self.planes,
@@ -81,10 +82,10 @@ class Bottleneck(nn.Module):
             dtype=self.dtype,
             name="conv2",
         )(out)
-        out = TorchBatchNorm(dtype=self.dtype, name="bn2")(out, use_running_average=use_ra)
+        out = TorchBatchNorm(stat_groups=self.bn_groups, dtype=self.dtype, name="bn2")(out, use_running_average=use_ra)
         out = nn.relu(out)
         out = Conv(self.planes * 4, 1, dtype=self.dtype, name="conv3")(out)
-        out = TorchBatchNorm(dtype=self.dtype, name="bn3")(out, use_running_average=use_ra)
+        out = TorchBatchNorm(stat_groups=self.bn_groups, dtype=self.dtype, name="bn3")(out, use_running_average=use_ra)
 
         residual = x
         if self.has_downsample:
@@ -92,18 +93,19 @@ class Bottleneck(nn.Module):
             class _Downsample(nn.Module):
                 planes: int
                 stride: int
+                bn_groups: int
                 dtype: Optional[jnp.dtype]
 
                 @nn.compact
                 def __call__(self, x, *, use_ra: bool):
                     y = Conv(self.planes * 4, 1, stride=self.stride, dtype=self.dtype, name="0")(x)
-                    return TorchBatchNorm(dtype=self.dtype, name="1")(
+                    return TorchBatchNorm(stat_groups=self.bn_groups, dtype=self.dtype, name="1")(
                         y, use_running_average=use_ra
                     )
 
-            residual = _Downsample(self.planes, self.stride, self.dtype, name="downsample")(
-                x, use_ra=use_ra
-            )
+            residual = _Downsample(
+                self.planes, self.stride, self.bn_groups, self.dtype, name="downsample"
+            )(x, use_ra=use_ra)
 
         return nn.relu(out + residual)
 
@@ -116,6 +118,7 @@ class _Stage(nn.Module):
     dilations: Sequence[int]
     first_downsample: bool
     freeze_bn: bool = False
+    bn_groups: int = 1  # per-group (ghost) BN statistics; see TorchBatchNorm.stat_groups
     # Segmented rematerialization: checkpoint each bottleneck, so the
     # backward pass saves only block-boundary activations and recomputes one
     # block at a time.  This is the granularity that actually cuts peak
@@ -134,6 +137,7 @@ class _Stage(nn.Module):
                 dilation=d,
                 has_downsample=(i == 0 and self.first_downsample),
                 freeze_bn=self.freeze_bn,
+                bn_groups=self.bn_groups,
                 dtype=self.dtype,
                 name=str(i),
             )
@@ -160,6 +164,7 @@ class ResNet101(nn.Module):
     # broken upstream): BN uses running stats during training, stats are not
     # updated; affine params still train, dropout unaffected.
     freeze_bn: bool = False
+    bn_groups: int = 1  # per-group (ghost) BN statistics; see TorchBatchNorm.stat_groups
     # Per-bottleneck gradient checkpointing (see _Stage.remat): long-rollout
     # video BPTT memory knob, training only.
     remat_blocks: bool = False
@@ -189,7 +194,7 @@ class ResNet101(nn.Module):
             )(x)
         else:
             x = Conv(64, 7, stride=2, padding=3, dtype=self.dtype, name="conv1")(x)
-        x = TorchBatchNorm(dtype=self.dtype, name="bn1")(
+        x = TorchBatchNorm(stat_groups=self.bn_groups, dtype=self.dtype, name="bn1")(
             x, use_running_average=(not train) or self.freeze_bn
         )
         x = nn.relu(x)
@@ -204,6 +209,7 @@ class ResNet101(nn.Module):
                 dilations=[dilations[i]] * n_blocks,
                 first_downsample=True,
                 freeze_bn=self.freeze_bn,
+                bn_groups=self.bn_groups,
                 remat=self.remat_blocks,
                 dtype=self.dtype,
                 name=name,
@@ -220,6 +226,7 @@ class ResNet101(nn.Module):
             dilations=[m * dilations[3] for m in self.multi_grid],
             first_downsample=True,
             freeze_bn=self.freeze_bn,
+                bn_groups=self.bn_groups,
             remat=self.remat_blocks,
             dtype=self.dtype,
             name="layer4",

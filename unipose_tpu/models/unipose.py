@@ -46,6 +46,10 @@ class UniPose(nn.Module):
     # running stats during training and stats are not updated; BN affine
     # params still receive gradients and dropout is unaffected.
     freeze_bn: bool = False
+    # Per-group (ghost) BN statistics (TorchBatchNorm.stat_groups): the
+    # trainer derives this from the mesh when ModelConfig.sync_bn=False so
+    # BN stats stay local to each data-parallel shard.
+    bn_groups: int = 1
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -55,6 +59,7 @@ class UniPose(nn.Module):
         feats, low_level = ResNet101(
             output_stride=self.output_stride,
             freeze_bn=self.freeze_bn,
+            bn_groups=self.bn_groups,
             dtype=self.dtype,
             name="backbone",
         )(x, train=train)
@@ -62,12 +67,14 @@ class UniPose(nn.Module):
             output_stride=self.output_stride,
             double_conv2=self.wasp_double_conv2,
             freeze_bn=self.freeze_bn,
+            bn_groups=self.bn_groups,
             dtype=self.dtype,
             name="wasp",
         )(feats, train=train)
         y = Decoder(
             self.num_classes, bbox_head=self.bbox_head,
-            freeze_bn=self.freeze_bn, dtype=self.dtype,
+            freeze_bn=self.freeze_bn,
+            bn_groups=self.bn_groups, dtype=self.dtype,
             name="decoder",
         )(y, low_level, train=train)
         if self.stride != 8:
@@ -80,9 +87,15 @@ class UniPose(nn.Module):
         return y
 
 
-def build_model(config: ModelConfig) -> nn.Module:
+def build_model(config: ModelConfig, bn_groups: int = 1) -> nn.Module:
     """Factory mirroring the reference constructors (model/unipose.py:9,
-    model/uniposeLSTM.py:68)."""
+    model/uniposeLSTM.py:68).
+
+    ``bn_groups`` realizes ``ModelConfig.sync_bn=False``: BN statistics are
+    computed per contiguous batch group instead of globally (per-shard BN —
+    the Trainer passes the mesh's data-parallel shard count).  1 = global
+    stats, which under GSPMD means synced-across-replicas (sync_bn=True).
+    """
     if config.variant == "image":
         return UniPose(
             num_classes=config.num_classes,
@@ -90,6 +103,7 @@ def build_model(config: ModelConfig) -> nn.Module:
             stride=config.stride,
             wasp_double_conv2=config.wasp_double_conv2,
             freeze_bn=config.freeze_bn,
+            bn_groups=bn_groups,
             dtype=None if config.compute_dtype == jnp.float32 else config.compute_dtype,
         )
     elif config.variant == "lstm":
@@ -103,6 +117,7 @@ def build_model(config: ModelConfig) -> nn.Module:
             remat_scan=config.remat_scan,
             remat_tower=config.remat_tower,
             freeze_bn=config.freeze_bn,
+            bn_groups=bn_groups,
             spmd_axes=config.spmd_axes,
             dtype=None if config.compute_dtype == jnp.float32 else config.compute_dtype,
         )
@@ -114,6 +129,7 @@ def init_model(
     rng: jax.Array,
     sample_batch: int = 1,
     input_size: int = None,
+    bn_groups: int = 1,
 ):
     """Initialize variables for a model; returns (module, variables).
 
@@ -122,7 +138,7 @@ def init_model(
     compiled program initializes in seconds and hits the persistent
     compilation cache.
     """
-    model = build_model(config)
+    model = build_model(config, bn_groups=bn_groups)
     size = input_size or config.spec.input_size
     if config.variant == "lstm":
         frames = jnp.zeros((sample_batch, config.frame_memory, size, size, 3))

@@ -135,6 +135,10 @@ class UniPoseLSTM(nn.Module):
     # torch model.freeze_bn() semantics (Reference: model/uniposeLSTM.py:94-95,
     # 150-154, broken upstream): BN uses running stats during training.
     freeze_bn: bool = False
+    # Per-group (ghost) BN statistics (TorchBatchNorm.stat_groups): the
+    # trainer derives this from the mesh when ModelConfig.sync_bn=False so
+    # BN stats stay local to each data-parallel shard.
+    bn_groups: int = 1
     # Sequence/context parallelism (SURVEY §5.7 growth path): mesh axis names
     # (data_axis, time_axis) — either may be None.  When set, GSPMD sharding
     # constraints pin the carry-independent tower + head (≈99% of FLOPs,
@@ -207,6 +211,7 @@ class UniPoseLSTM(nn.Module):
         backbone = ResNet101(
             output_stride=self.output_stride,
             freeze_bn=self.freeze_bn,
+            bn_groups=self.bn_groups,
             remat_blocks=self.remat_tower,
             dtype=self.dtype,
             name="backbone",
@@ -217,11 +222,13 @@ class UniPoseLSTM(nn.Module):
             double_conv2=self.wasp_double_conv2,
             gap_batchnorm=False,  # video WASP quirk (waspVideo.py:56-59)
             freeze_bn=self.freeze_bn,
+            bn_groups=self.bn_groups,
             dtype=self.dtype,
             name="wasp",
         )(feats, train=train)
         y = Decoder(
-            self.num_classes, freeze_bn=self.freeze_bn, dtype=self.dtype,
+            self.num_classes, freeze_bn=self.freeze_bn,
+            bn_groups=self.bn_groups, dtype=self.dtype,
             name="decoder",
         )(y, low_level, train=train)  # (B*T, h8, w8, K+1)
 

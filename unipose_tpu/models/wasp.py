@@ -35,6 +35,7 @@ class AtrousModule(nn.Module):
     padding: int
     dilation: int
     freeze_bn: bool = False
+    bn_groups: int = 1  # per-group (ghost) BN statistics; see TorchBatchNorm.stat_groups
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -47,7 +48,7 @@ class AtrousModule(nn.Module):
             dtype=self.dtype,
             name="atrous_conv",
         )(x)
-        x = TorchBatchNorm(dtype=self.dtype, name="bn")(
+        x = TorchBatchNorm(stat_groups=self.bn_groups, dtype=self.dtype, name="bn")(
             x, use_running_average=(not train) or self.freeze_bn
         )
         return nn.relu(x)
@@ -60,6 +61,7 @@ class _GlobalAvgPool(nn.Module):
 
     batchnorm: bool = True
     freeze_bn: bool = False
+    bn_groups: int = 1  # per-group (ghost) BN statistics; see TorchBatchNorm.stat_groups
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -67,7 +69,7 @@ class _GlobalAvgPool(nn.Module):
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(x.dtype)
         x = Conv(256, 1, dtype=self.dtype, name="1")(x)
         if self.batchnorm:
-            x = TorchBatchNorm(dtype=self.dtype, name="2")(
+            x = TorchBatchNorm(stat_groups=self.bn_groups, dtype=self.dtype, name="2")(
                 x, use_running_average=(not train) or self.freeze_bn
             )
         return nn.relu(x)
@@ -79,6 +81,7 @@ class WASP(nn.Module):
     gap_batchnorm: bool = True  # False reproduces waspVideo.py:56-59
     dropout_rate: float = 0.5
     freeze_bn: bool = False
+    bn_groups: int = 1  # per-group (ghost) BN statistics; see TorchBatchNorm.stat_groups
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -90,22 +93,22 @@ class WASP(nn.Module):
         else:
             raise NotImplementedError(f"output_stride {self.output_stride}")
 
-        x1 = AtrousModule(256, 1, padding=0, dilation=dilations[0], freeze_bn=self.freeze_bn, dtype=self.dtype, name="aspp1")(x, train=train)
-        x2 = AtrousModule(256, 3, padding=dilations[1], dilation=dilations[1], freeze_bn=self.freeze_bn, dtype=self.dtype, name="aspp2")(x1, train=train)
-        x3 = AtrousModule(256, 3, padding=dilations[2], dilation=dilations[2], freeze_bn=self.freeze_bn, dtype=self.dtype, name="aspp3")(x2, train=train)
-        x4 = AtrousModule(256, 3, padding=dilations[3], dilation=dilations[3], freeze_bn=self.freeze_bn, dtype=self.dtype, name="aspp4")(x3, train=train)
+        x1 = AtrousModule(256, 1, padding=0, dilation=dilations[0], freeze_bn=self.freeze_bn, bn_groups=self.bn_groups, dtype=self.dtype, name="aspp1")(x, train=train)
+        x2 = AtrousModule(256, 3, padding=dilations[1], dilation=dilations[1], freeze_bn=self.freeze_bn, bn_groups=self.bn_groups, dtype=self.dtype, name="aspp2")(x1, train=train)
+        x3 = AtrousModule(256, 3, padding=dilations[2], dilation=dilations[2], freeze_bn=self.freeze_bn, bn_groups=self.bn_groups, dtype=self.dtype, name="aspp3")(x2, train=train)
+        x4 = AtrousModule(256, 3, padding=dilations[3], dilation=dilations[3], freeze_bn=self.freeze_bn, bn_groups=self.bn_groups, dtype=self.dtype, name="aspp4")(x3, train=train)
 
         conv2 = Conv(256, 1, dtype=self.dtype, name="conv2")
         branches = [conv2(b) for b in (x1, x2, x3, x4)]
         if self.double_conv2:
             branches = [conv2(b) for b in branches]
 
-        x5 = _GlobalAvgPool(batchnorm=self.gap_batchnorm, freeze_bn=self.freeze_bn, dtype=self.dtype, name="global_avg_pool")(x, train=train)
+        x5 = _GlobalAvgPool(batchnorm=self.gap_batchnorm, freeze_bn=self.freeze_bn, bn_groups=self.bn_groups, dtype=self.dtype, name="global_avg_pool")(x, train=train)
         x5 = bilinear_resize(x5, branches[-1].shape[1:3])
 
         y = jnp.concatenate([*branches, x5], axis=-1)
         y = Conv(256, 1, dtype=self.dtype, name="conv1")(y)
-        y = TorchBatchNorm(dtype=self.dtype, name="bn1")(
+        y = TorchBatchNorm(stat_groups=self.bn_groups, dtype=self.dtype, name="bn1")(
             y, use_running_average=(not train) or self.freeze_bn
         )
         y = nn.relu(y)

@@ -57,12 +57,22 @@ def clip_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_clip_batch(batch, mesh: Mesh):
     """Put a host video batch onto a (data, time) mesh with (B, T) leading
-    dims sharded over both axes.  Non-array leaves pass through."""
+    dims sharded over both axes.  Non-array leaves pass through.
+
+    Only leaves with ndim >= 3 can be (B, T, ...) clip tensors (frames,
+    kpts, centers all qualify); 1-D/2-D leaves (e.g. a per-clip label or
+    key) are per-*clip*, so they shard over ``data`` only — sharding a
+    (B, features) array's second dim over ``time`` would be a silent wrong
+    placement (and a divisibility failure for small feature dims)."""
     sharding = clip_sharding(mesh)
+    data_only = NamedSharding(mesh, P("data"))
 
     def put(x):
-        if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) >= 2:
-            return jax.device_put(x, sharding)
+        if isinstance(x, (np.ndarray, jax.Array)):
+            if x.ndim >= 3:
+                return jax.device_put(x, sharding)
+            if x.ndim >= 1:
+                return jax.device_put(x, data_only)
         return x
 
     return jax.tree_util.tree_map(put, batch, is_leaf=lambda x: not isinstance(x, dict))

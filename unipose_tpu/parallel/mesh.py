@@ -90,8 +90,28 @@ def make_mesh(
     shape = list(shape)
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1])) or 1
+        if known > len(devices):
+            raise ValueError(
+                f"mesh shape {tuple(shape)} needs at least {known} devices "
+                f"but only {len(devices)} are available"
+            )
         shape[shape.index(-1)] = len(devices) // known
     n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(
+            f"mesh shape {tuple(shape)} needs {n} devices but only "
+            f"{len(devices)} are available"
+        )
+    # A mesh that divides the device count unevenly silently strands the
+    # remainder (e.g. 8 chips with (-1, 3) -> a 2x3 mesh leaves 2 idle).
+    # An exact smaller mesh (e.g. (1,) on an 8-device host for single-chip
+    # runs) is a deliberate choice and stays allowed.
+    if len(devices) % n != 0:
+        raise ValueError(
+            f"mesh shape {tuple(shape)} uses {n} of {len(devices)} devices, "
+            f"stranding {len(devices) % n}; pick a shape whose product "
+            "divides the device count (or pass `devices` explicitly)"
+        )
     dev_array = np.asarray(devices[:n]).reshape(shape)
     return Mesh(dev_array, tuple(axes))
 

@@ -31,12 +31,19 @@ def create_train_state(
     train_config: TrainConfig,
     rng: jax.Array,
     input_size: int = None,
+    bn_groups: int = 1,
 ):
-    """Returns (model, optimizer, TrainState)."""
+    """Returns (model, optimizer, TrainState).
+
+    ``bn_groups`` > 1 builds the model with per-group (ghost) BatchNorm
+    statistics — the realization of ``ModelConfig.sync_bn=False`` under data
+    parallelism (see Trainer.__init__ and TorchBatchNorm.stat_groups)."""
     import jax.numpy as jnp
 
     init_rng, state_rng = jax.random.split(rng)
-    model, variables = init_model(model_config, init_rng, input_size=input_size)
+    model, variables = init_model(
+        model_config, init_rng, input_size=input_size, bn_groups=bn_groups
+    )
     tx = make_optimizer(train_config)
     state = TrainState(
         params=variables["params"],

@@ -97,9 +97,38 @@ class Trainer:
                     "mesh_shape=(-1, t), mesh_axes=('data', 'time')"
                 )
 
+        # sync_bn semantics (the flag the reference accepts and ignores,
+        # SURVEY §2.2): True (default) = BN statistics over the GLOBAL batch
+        # — automatic under GSPMD, exact (tests/test_sync_bn.py).  False =
+        # per-shard statistics: the model is built with one BN stat group per
+        # data-parallel shard, so each device normalizes with its own
+        # sub-batch moments and no cross-replica collective is inserted
+        # (torch DDP-without-SyncBN semantics; running stats use the pooled
+        # moments so the replicated EMA state stays consistent).
+        bn_groups = 1
+        if not model_config.sync_bn:
+            if self.cp:
+                raise ValueError(
+                    "sync_bn=False (per-shard BN) is not supported together "
+                    "with sequence/context parallelism: with frames of one "
+                    "clip spread over the 'time' axis, per-device statistics "
+                    "would split individual clips. Use sync_bn=True."
+                )
+            bn_groups = dict(
+                zip(self.mesh.axis_names, self.mesh.devices.shape)
+            ).get("data", 1)
+            if bn_groups > 1 and train_config.batch_size % bn_groups != 0:
+                raise ValueError(
+                    f"sync_bn=False needs batch_size divisible by the data-"
+                    f"parallel shard count ({bn_groups}); got "
+                    f"{train_config.batch_size}"
+                )
+        self.bn_groups = bn_groups
+
         rng = jax.random.PRNGKey(train_config.seed)
         self.model, self.tx, self.state = create_train_state(
-            model_config, train_config, rng, input_size=self.spec.input_size
+            model_config, train_config, rng, input_size=self.spec.input_size,
+            bn_groups=bn_groups,
         )
         if pretrained:
             variant = "lstm" if self.video else "image"
@@ -123,7 +152,8 @@ class Trainer:
 
         self.state = replicate(self.state, self.mesh)
         self.train_step = make_train_step(
-            self.model, self.tx, self.spec, video=self.video
+            self.model, self.tx, self.spec, video=self.video,
+            donate=train_config.donate_state,
         )
         self.eval_step = make_eval_step(self.model, self.spec, video=self.video)
         self.val_step = make_val_step(self.model, self.spec, video=self.video)
