@@ -1,0 +1,191 @@
+"""Long-video streaming eval on TPU via the production path
+(eval/video.py::make_stream_step — BASELINE config 4's eval shape) at T in
+the hundreds (VERDICT r3 next-round #5):
+
+  1. sustained f/s of chunked streaming at 368² over T_total frames, timed
+     by the state data-dependence itself (chunk i+1 consumes chunk i's
+     (cell, hide), so the loop is serialized by construction; one sync);
+  2. the depth pin: chunked streaming == one full-rollout apply at T≈200 —
+     the f32-carry claim at depth, asserted on heatmap agreement AND
+     argmax coordinates (run at a reduced size so the full-rollout program
+     compiles quickly; the carry math is size-independent).
+
+Inputs are generated ON DEVICE (host->device through the tunnel is ~MB/s;
+325 MB of frames would take minutes and measure the wrong thing).  The
+host loop only threads state — exactly what eval/video.stream_video does.
+
+Usage: python scripts/bench_long_video.py [--t-total 200] [--chunk 5]
+Prints one JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/unipose_tpu_jax_cache")
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--t-total", type=int, default=200)
+    p.add_argument("--chunk", type=int, default=5)
+    p.add_argument("--size", type=int, default=368, help="throughput size")
+    p.add_argument("--pin-size", type=int, default=96,
+                   help="depth-pin size (full T-frame rollout must compile)")
+    p.add_argument("--pin-t", type=int, default=200)
+    p.add_argument("--backend", default=None, choices=[None, "cpu"])
+    args = p.parse_args()
+
+    if args.backend == "cpu":
+        from unipose_tpu.utils.platform import force_cpu_platform
+
+        force_cpu_platform(1)
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import zeros_variables
+    from unipose_tpu.core.config import DATASETS
+    from unipose_tpu.eval.video import make_stream_step
+    from unipose_tpu.models.unipose_lstm import UniPoseLSTM
+
+    import dataclasses
+
+    out = {}
+
+    # ------------------------------------------------------------------
+    # 1. throughput at the production shape
+    # ------------------------------------------------------------------
+    size, chunk, t_total = args.size, args.chunk, args.t_total
+    spec = dataclasses.replace(
+        DATASETS["BBC"], input_size=size, sigma=1.0
+    )
+    model = UniPoseLSTM(num_classes=spec.num_joints, dtype=jnp.bfloat16)
+    frames0 = jnp.zeros((1, chunk, size, size, 3))
+    cm0 = jnp.zeros((1, chunk, size, size, 1))
+    variables = zeros_variables(model, frames0, cm0)
+    step = make_stream_step(model, spec)
+
+    gen = jax.jit(
+        lambda k: (
+            jax.random.uniform(k, (1, chunk, size, size, 3)) * 255.0,
+            jax.random.uniform(jax.random.fold_in(k, 1), (1, chunk, 2)) * size,
+        )
+    )
+    n_chunks = t_total // chunk
+    chunks = [gen(jax.random.PRNGKey(i)) for i in range(min(8, n_chunks))]
+    jax.block_until_ready(chunks)
+
+    print("compiling stream step (first + next chunk)...", flush=True)
+    heat, state = step(variables["params"], variables["batch_stats"], *chunks[0])
+    heat, state = step(
+        variables["params"], variables["batch_stats"], *chunks[1 % len(chunks)], state
+    )
+    jax.block_until_ready(state)
+
+    print(f"streaming {t_total} frames in {chunk}-frame chunks...", flush=True)
+    t0 = time.perf_counter()
+    state = None
+    last_heat = None
+    for i in range(n_chunks):
+        f, c = chunks[i % len(chunks)]
+        last_heat, state = step(variables["params"], variables["batch_stats"], f, c, state)
+    # one sync: the state chain serializes all chunks; fetch a scalar
+    _ = float(jnp.sum(state[0][:, 0, 0, 0]))
+    dt = time.perf_counter() - t0
+    out.update(
+        t_total=t_total,
+        chunk=chunk,
+        size=size,
+        stream_fps=round(t_total / dt, 1),
+        ms_per_chunk=round(dt / n_chunks * 1e3, 2),
+    )
+    print(f"sustained {out['stream_fps']} f/s ({out['ms_per_chunk']} ms/chunk)",
+          flush=True)
+
+    # ------------------------------------------------------------------
+    # 2. depth pin: chunked == full rollout at T=pin_t (f32 carry at depth)
+    # ------------------------------------------------------------------
+    ps, pt = args.pin_size, args.pin_t
+    spec_p = dataclasses.replace(DATASETS["BBC"], input_size=ps, sigma=1.0)
+    model_p = UniPoseLSTM(num_classes=spec_p.num_joints, dtype=jnp.bfloat16)
+    fp0 = jnp.zeros((1, chunk, ps, ps, 3))
+    cmp0 = jnp.zeros((1, chunk, ps, ps, 1))
+    vars_p = zeros_variables(model_p, fp0, cmp0)
+    # deterministic BN stats/params are zeros-init via eval_shape; give BN
+    # stats a nonzero perturbation so eval-mode normalization is non-trivial
+    vars_p = jax.tree_util.tree_map(lambda x: x, vars_p)
+
+    key = jax.random.PRNGKey(7)
+    frames_all = jax.jit(
+        lambda k: jax.random.uniform(k, (1, pt, ps, ps, 3)) * 255.0
+    )(key)
+    centers_all = jax.jit(
+        lambda k: jax.random.uniform(k, (1, pt, 2)) * ps
+    )(jax.random.fold_in(key, 1))
+
+    from unipose_tpu.train.steps import make_centermaps, preprocess_images
+
+    print(f"compiling full {pt}-frame rollout at {ps}px...", flush=True)
+    full_fwd = jax.jit(
+        lambda f, c: model_p.apply(
+            {"params": vars_p["params"], "batch_stats": vars_p["batch_stats"]},
+            preprocess_images(f),
+            make_centermaps(c, spec_p),
+            train=False,
+        )
+    )
+    full = np.asarray(full_fwd(frames_all, centers_all))
+
+    step_p = make_stream_step(model_p, spec_p)
+    outs, st = [], None
+    for s0 in range(0, pt, chunk):
+        h, st = step_p(
+            vars_p["params"],
+            vars_p["batch_stats"],
+            frames_all[:, s0 : s0 + chunk],
+            centers_all[:, s0 : s0 + chunk],
+            st,
+        )
+        outs.append(np.asarray(h))
+    chunked = np.concatenate(outs, axis=1)
+
+    d = np.abs(chunked - full)
+    scale = np.abs(full).max() or 1.0
+    # semantic agreement: identical argmax coords per frame/joint
+    def coords(a):
+        b, t, h, w, k = a.shape
+        flat = np.moveaxis(a, -1, 2).reshape(b * t * k, h * w)
+        idx = np.argmax(flat, 1)
+        return np.stack([idx % w, idx // w], 1)
+
+    agree = float((coords(chunked) == coords(full)).all(1).mean())
+    out.update(
+        pin_t=pt,
+        pin_size=ps,
+        pin_max_abs=float(d.max()),
+        pin_maxnorm_rel=round(float(d.max() / scale), 8),
+        pin_argmax_agreement=round(agree, 6),
+    )
+    print(
+        f"depth pin: max|Δ| {d.max():.3e} (rel {d.max() / scale:.2e}), "
+        f"argmax agreement {agree:.4%}",
+        flush=True,
+    )
+
+    print(json.dumps({"metric": "long_video_stream_fps",
+                      "value": out["stream_fps"], "unit": "frames/s", **out}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -24,8 +24,11 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
 def build_argparser():
@@ -61,7 +64,79 @@ def build_argparser():
                    help="virtual device count with --backend cpu")
     p.add_argument("--out", default=None, type=str,
                    help="write the JSON result line to this file too")
+    p.add_argument("--save-ckpt", default=None, type=str,
+                   help="serialize trained (params, batch_stats) to this "
+                        "msgpack file")
+    p.add_argument("--init-from", default=None, type=str,
+                   help="warm-start matching modules (backbone/wasp/decoder) "
+                        "from a --save-ckpt file — the reference's video "
+                        "recipe trains UniPose-LSTM FROM a trained image "
+                        "checkpoint (uniposeLSTM.py --pretrained)")
     return p
+
+
+def _save_ckpt(path, state):
+    import jax
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            {"params": jax.tree_util.tree_map(np_asarray, state.params),
+             "batch_stats": jax.tree_util.tree_map(np_asarray, state.batch_stats)}
+        ))
+
+
+def np_asarray(x):
+    import numpy as np
+
+    return np.asarray(x)
+
+
+def _init_from(path, state):
+    """Copy every leaf whose path+shape matches (key-intersection warm start,
+    the reference's partial-load semantics, unipose.py:79-90)."""
+    import jax
+    import numpy as np
+
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        src = serialization.msgpack_restore(f.read())
+
+    copied = [0]
+
+    def merge(dst, sub):
+        if not isinstance(dst, dict):
+            return dst
+        out = {}
+        for k, v in dst.items():
+            if isinstance(v, dict):
+                out[k] = merge(v, sub.get(k, {}) if isinstance(sub, dict) else {})
+            elif (
+                isinstance(sub, dict)
+                and k in sub
+                and getattr(sub[k], "shape", None) == tuple(v.shape)
+            ):
+                out[k] = jnp_asarray(sub[k], v.dtype)
+                copied[0] += 1
+            else:
+                out[k] = v
+        return out
+
+    import jax.numpy as jnp
+
+    def jnp_asarray(x, dtype):
+        return jnp.asarray(np.asarray(x), dtype)
+
+    new_params = merge(
+        jax.tree_util.tree_map(lambda x: x, state.params), src.get("params", {})
+    )
+    new_stats = merge(
+        jax.tree_util.tree_map(lambda x: x, state.batch_stats),
+        src.get("batch_stats", {}),
+    )
+    print(f"warm start: {copied[0]} arrays copied from {path}")
+    return state.replace(params=new_params, batch_stats=new_stats)
 
 
 def eval_pck(forward, loader, spec, dataset="LSP", video=False):
@@ -80,24 +155,25 @@ def eval_pck(forward, loader, spec, dataset="LSP", video=False):
     PCKh = np.zeros(k + 1)
     count = np.zeros(k + 1)
     frames = []
+    nchw = lambda a: np.moveaxis(np.asarray(a), -1, 0)  # noqa: E731
     for batch in loader:
         import jax.numpy as jnp
 
         if video:
-            out = forward(batch)  # (B, T, h, w, K+1)
+            out = forward(batch)  # (B, T, h, w, K+1) channel-last
             tgt_hm = np.asarray(make_targets(jnp.asarray(batch["kpts"]), spec))
             b, t = out.shape[:2]
             for i in range(b):
                 for j in range(t):
-                    p, _ = get_max_preds(np.asarray(out[i, j])[None])
-                    g, _ = get_max_preds(tgt_hm[i, j][None])
+                    p, _ = get_max_preds(nchw(out[i, j])[None])
+                    g, _ = get_max_preds(nchw(tgt_hm[i, j])[None])
                     frames.append((p[0], g[0]))
         else:
-            out = forward(batch)  # (B, h, w, K+1)
+            out = forward(batch)  # (B, h, w, K+1) channel-last
             tgt_hm = np.asarray(make_targets(jnp.asarray(batch["kpts"]), spec))
             for i in range(out.shape[0]):
-                p, _ = get_max_preds(np.asarray(out[i])[None])
-                g, _ = get_max_preds(tgt_hm[i][None])
+                p, _ = get_max_preds(nchw(out[i])[None])
+                g, _ = get_max_preds(nchw(tgt_hm[i])[None])
                 frames.append((p[0], g[0]))
     for idx, (p, g) in enumerate(frames):
         acc, acc_pck, acc_pckh, _, _, visible = accuracy_from_coords(
@@ -171,6 +247,8 @@ def main(argv=None):
         seed=args.seed,
     )
     trainer = Trainer(model_config, train_config, spec=spec, loaders=loaders)
+    if args.init_from:
+        trainer.state = _init_from(args.init_from, trainer.state)
 
     t0 = time.time()
     result = {"variant": args.variant, "size": args.size,
@@ -230,6 +308,12 @@ def main(argv=None):
         result["int8_pck_delta"] = round(
             float(quant["mPCK"] - base["mPCK"]), 4
         )
+
+    if args.save_ckpt:
+        import jax
+
+        _save_ckpt(args.save_ckpt, trainer.state)
+        print(f"checkpoint saved to {args.save_ckpt}")
 
     line = json.dumps(result)
     print(line, flush=True)

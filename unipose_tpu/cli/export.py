@@ -36,7 +36,9 @@ def main(argv=None):
         action="store_true",
         help="quantize the bandwidth-bound ResNet front end to w8a8 "
         "(changes numerics; measured +8%% throughput on image artifacts, "
-        "parity on video — see docs/BENCHMARKS.md int8 study)",
+        "parity on video; task-level cost on trained weights: -0.11pt "
+        "PCK@0.2 on the learning-validation checkpoint — see "
+        "docs/BENCHMARKS.md int8 study)",
     )
     p.add_argument(
         "--stream",

@@ -190,14 +190,14 @@ def _run_reference(args, x_nchw, centers_nchw, num_classes, workdir):
 def _per_joint_pck(heats, target_coords, hm, dataset, k):
     """Visibility-gated running-mean per-joint PCK@0.2 over frames —
     the reference accumulation (unipose.py:163-176).  ``heats`` is
-    (N, h, w, K+1) channel-last."""
+    (N, h, w, K+1) channel-last (get_max_preds wants NCHW)."""
     from unipose_tpu.eval.metrics import accuracy_from_coords, get_max_preds
 
     PCK = np.zeros(k + 1)
     count = np.zeros(k + 1)
     PCK0_n = 0
     for i in range(heats.shape[0]):
-        p, _ = get_max_preds(heats[i][None])
+        p, _ = get_max_preds(np.moveaxis(heats[i], -1, 0)[None])
         acc, acc_pck, _, _, _, visible = accuracy_from_coords(
             p[0][None], target_coords[i][None], hm, hm, 0.2, 0.5, dataset
         )
@@ -282,7 +282,7 @@ def main(argv=None):
         variant="lstm" if video else "image",
     )
     print(
-        f"our side: {len(report['converted'])} keys converted, "
+        f"our side: {len(report['loaded'])} keys loaded, "
         f"{len(report['skipped'])} skipped"
     )
 
@@ -320,7 +320,10 @@ def main(argv=None):
         ref_f = np.moveaxis(ref_heat, 1, -1)
 
     tgt_coords = np.stack(
-        [get_max_preds(targets_f[i][None])[0][0] for i in range(targets_f.shape[0])]
+        [
+            get_max_preds(np.moveaxis(targets_f[i], -1, 0)[None])[0][0]
+            for i in range(targets_f.shape[0])
+        ]
     )
     pck_ref = _per_joint_pck(ref_f, tgt_coords, hm, args.dataset, k)
     pck_ours = _per_joint_pck(our_f, tgt_coords, hm, args.dataset, k)

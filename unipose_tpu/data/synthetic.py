@@ -61,6 +61,26 @@ _LIMBS = (
     (2, 12), (3, 12), (12, 13),
 )
 
+# Side-distinct limb strokes (BGR).  Right-side limbs, left-side limbs and
+# the midline get different colors: without this the figure is bilaterally
+# symmetric up to the small joint markers, and the VIDEO variant — whose
+# supervision is squeezed through the 16-channel ConvLSTM bottleneck —
+# reliably falls into a mirror local minimum (both channels of a left/right
+# pair predicted at one side; measured: PCK pinned at exactly 8/14 with a
+# binary per-joint pattern, while the image variant trains past 95%).
+# Real datasets break this symmetry with appearance; synthetic data must
+# break it explicitly for the convergence claim to be testable.
+_RIGHT_JOINTS = frozenset((0, 1, 2, 6, 7, 8))
+_LEFT_JOINTS = frozenset((3, 4, 5, 9, 10, 11))
+
+
+def _limb_color(a: int, b: int) -> np.ndarray:
+    if a in _RIGHT_JOINTS and b in _RIGHT_JOINTS:
+        return np.array((60.0, 60.0, 190.0), np.float32)  # right: red-ish
+    if a in _LEFT_JOINTS and b in _LEFT_JOINTS:
+        return np.array((190.0, 90.0, 40.0), np.float32)  # left: blue-ish
+    return np.array((90.0, 90.0, 90.0), np.float32)       # midline: gray
+
 # One saturated, unique marker color per joint (BGR, matching the loaders'
 # channel convention) — joint identity is decodable from local appearance,
 # which is what makes the task easy enough to demand near-perfect PCK.
@@ -96,33 +116,7 @@ def _render_sample(rng: np.random.RandomState, size: int):
     cy = rng.uniform(margin - lo[1], size - margin - hi[1])
     pts = pts + np.array([cx, cy], np.float32)
 
-    img = np.full((size, size, 3), 32.0, np.float32)
-    # light background clutter so the net cannot key on raw brightness
-    for _ in range(6):
-        x0, y0 = rng.randint(0, size, 2)
-        w, h = rng.randint(2, max(3, size // 8), 2)
-        img[y0 : y0 + h, x0 : x0 + w] += rng.uniform(0, 40)
-
-    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
-
-    # limbs: soft gray strokes
-    for a, b in _LIMBS:
-        pa, pb = pts[a], pts[b]
-        d = pb - pa
-        L2 = float(d @ d) + 1e-6
-        t = np.clip(((xx - pa[0]) * d[0] + (yy - pa[1]) * d[1]) / L2, 0.0, 1.0)
-        px = pa[0] + t * d[0]
-        py = pa[1] + t * d[1]
-        dist2 = (xx - px) ** 2 + (yy - py) ** 2
-        img += np.where(dist2 < (0.012 * size) ** 2, 70.0, 0.0)[..., None]
-
-    # joint markers: unique color disks
-    r2 = (0.022 * size) ** 2
-    for j in range(NUM_JOINTS):
-        mask = (xx - pts[j, 0]) ** 2 + (yy - pts[j, 1]) ** 2 < r2
-        img[mask] = _COLORS[j]
-
-    img = np.clip(img + rng.normal(0, 4.0, img.shape), 0, 255).astype(np.float32)
+    img = _render_from_kpts(pts, size, rng)
     kpts = np.concatenate([pts, np.ones((NUM_JOINTS, 1), np.float32)], axis=1)
     center = np.array([cx, cy], np.float32)
     return img, kpts, center
@@ -244,8 +238,10 @@ class SyntheticVideoLoader:
 def _render_from_kpts(
     pts: np.ndarray, size: int, rng: np.random.RandomState
 ) -> np.ndarray:
-    """Render a frame for given joint pixel positions (video follow-frames)."""
+    """Render one frame for given joint pixel positions: background clutter,
+    side-colored limb strokes, unique per-joint color markers."""
     img = np.full((size, size, 3), 32.0, np.float32)
+    # light background clutter so the net cannot key on raw brightness
     for _ in range(6):
         x0, y0 = rng.randint(0, size, 2)
         w, h = rng.randint(2, max(3, size // 8), 2)
@@ -257,7 +253,7 @@ def _render_from_kpts(
         L2 = float(d @ d) + 1e-6
         t = np.clip(((xx - pa[0]) * d[0] + (yy - pa[1]) * d[1]) / L2, 0.0, 1.0)
         dist2 = (xx - (pa[0] + t * d[0])) ** 2 + (yy - (pa[1] + t * d[1])) ** 2
-        img += np.where(dist2 < (0.012 * size) ** 2, 70.0, 0.0)[..., None]
+        img[dist2 < (0.012 * size) ** 2] = _limb_color(a, b)
     r2 = (0.022 * size) ** 2
     for j in range(NUM_JOINTS):
         mask = (xx - pts[j, 0]) ** 2 + (yy - pts[j, 1]) ** 2 < r2

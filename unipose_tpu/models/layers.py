@@ -135,6 +135,19 @@ class Conv(nn.Module):
     padding: Union[int, Tuple[Tuple[int, int], Tuple[int, int]]] = 0
     dilation: int = 1
     use_bias: bool = False
+    # Init family.  False (default): He-normal fan_out — the reference's
+    # EXPLICIT init for backbone/WASP/decoder convs (resnet.py:126-133,
+    # wasp.py:92-103).  True: torch's nn.Conv2d DEFAULT init
+    # (kaiming_uniform fan_in with a=sqrt(5) => U(+-1/sqrt(fan_in)), and
+    # the same bound for the bias) — what the reference's ConvLSTM cells
+    # and 11x11 head get, since it never re-inits them
+    # (uniposeLSTM.py:9-64,85-89).  The distinction is LOAD-BEARING for
+    # from-scratch video training: He-fan_out weights are ~2.5x larger at
+    # the 11x11 head's fan-in, and with the head's final ReLU
+    # (uniposeLSTM.py:124) plus zero biases, output channels die at init
+    # and stay dead (zero gradient) — measured as joints pinned at exactly
+    # 0% PCK (docs/BENCHMARKS.md learning validation).
+    torch_default_init: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -145,11 +158,17 @@ class Conv(nn.Module):
             else tuple(self.kernel_size)
         )
         in_ch = x.shape[-1]
-        # He-normal fan_out matches the reference init families closely enough
-        # for from-scratch training (Reference: resnet.py:126-133, wasp.py:92-103).
+        if self.torch_default_init:
+            # U(+-1/sqrt(fan_in)): variance_scaling uniform draws
+            # U(+-sqrt(3*scale/fan)); scale=1/3 gives the torch bound.
+            weight_init = nn.initializers.variance_scaling(
+                1.0 / 3.0, "fan_in", "uniform"
+            )
+        else:
+            weight_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
         kernel = self.param(
             "weight",
-            nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            weight_init,
             (*k, in_ch, self.features),
             jnp.float32,
         )
@@ -171,6 +190,17 @@ class Conv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.torch_default_init:
+                fan_in = float(in_ch * k[0] * k[1])
+                bound = fan_in**-0.5
+
+                def bias_init(key, shape, dtype=jnp.float32):
+                    return jax.random.uniform(
+                        key, shape, dtype, minval=-bound, maxval=bound
+                    )
+
+            else:
+                bias_init = nn.initializers.zeros
+            b = self.param("bias", bias_init, (self.features,), jnp.float32)
             y = y + b.astype(dtype)
         return y

@@ -51,7 +51,7 @@ class ConvLSTM0(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         conv = lambda name: Conv(  # noqa: E731
-            self.features, 3, padding=1, use_bias=True, dtype=self.dtype, name=name
+            self.features, 3, padding=1, use_bias=True, torch_default_init=True, dtype=self.dtype, name=name
         )
         # f32 gate math / f32 state, matching ConvLSTMCell's carry dtype.
         g = jnp.tanh(conv("conv_g_lstm")(x).astype(jnp.float32))
@@ -79,8 +79,8 @@ class ConvLSTMCell(nn.Module):
         self, carry: Tuple[jnp.ndarray, jnp.ndarray], x: jnp.ndarray
     ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
         prev_cell, prev_hide = carry
-        xg = Conv(4 * self.features, 3, padding=1, use_bias=True, dtype=self.dtype, name="conv_x_gates")(x)
-        hg = Conv(4 * self.features, 3, padding=1, use_bias=True, dtype=self.dtype, name="conv_h_gates")(
+        xg = Conv(4 * self.features, 3, padding=1, use_bias=True, torch_default_init=True, dtype=self.dtype, name="conv_x_gates")(x)
+        hg = Conv(4 * self.features, 3, padding=1, use_bias=True, torch_default_init=True, dtype=self.dtype, name="conv_h_gates")(
             prev_hide.astype(x.dtype)
         )
         # Gate math and the cell carry run in f32 even under a bf16 compute
@@ -107,7 +107,7 @@ class LSTMHead(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         conv = lambda feats, k, name: Conv(  # noqa: E731
-            feats, k, padding=k // 2, use_bias=True, dtype=self.dtype, name=name
+            feats, k, padding=k // 2, use_bias=True, torch_default_init=True, dtype=self.dtype, name=name
         )
         x = nn.relu(conv(self.width, 11, "conv1")(x))
         x = nn.relu(conv(self.width, 11, "conv2")(x))
