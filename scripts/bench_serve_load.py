@@ -36,6 +36,9 @@ def main():
     p.add_argument("--clients", type=int, default=16)
     p.add_argument("--seconds", type=float, default=10.0)
     p.add_argument("--wait-ms", type=float, default=2.0)
+    p.add_argument("--f32-input", action="store_true",
+                   help="export an f32-input artifact (default: uint8 raw "
+                        "pixels, normalize-on-device — 4x less transfer)")
     p.add_argument("--backend", default=None, choices=[None, "cpu"])
     args = p.parse_args()
 
@@ -64,7 +67,10 @@ def main():
     x0 = jnp.zeros((1, size, size, 3), jnp.float32)
     variables = zeros_variables(model, x0)
     print(f"exporting batch-{args.batch} artifact...", flush=True)
-    blob = export_inference(model, variables, (args.batch, size, size, 3))
+    blob = export_inference(
+        model, variables, (args.batch, size, size, 3),
+        raw_uint8=not args.f32_input,
+    )
     art_path = "/tmp/bench_serve_load.hlo"
     with open(art_path, "wb") as f:
         f.write(blob)

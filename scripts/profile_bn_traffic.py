@@ -104,7 +104,7 @@ def main():
         (args.size // 16, args.size // 16, 1024),  # layer3-class (channel-heavy)
     ]
     for h, w, c in rep_shapes:
-        x0 = jnp.zeros((b, h, w, c), jnp.bfloat16)
+        x0 = jnp.ones((b, h, w, c), jnp.bfloat16) * 0.5
         variables = bn.init(jax.random.PRNGKey(0), x0, use_running_average=False)
 
         def loss(x):
@@ -115,12 +115,14 @@ def main():
 
         grad = jax.grad(loss)
 
-        def step(x):
+        def step_scalar(carry):
+            # carry (scalar) perturbs the input so iterations chain; the
+            # returned scalar depends on the full backward.
+            x = x0 + carry.astype(x0.dtype) * 0.0
             g = grad(x)
-            # chain: output feeds the next iteration's input
-            return x + g.astype(x.dtype) * 0.0 + jnp.bfloat16(1e-7)
+            return jnp.sum(g.astype(jnp.float32)) * 1e-20 + carry * 0.0
 
-        t = chained_timer(step, x0, iters=args.iters)
+        t = chained_timer(step_scalar, args.iters)
         # traffic of train fwd+bwd: fwd read x + write y; bwd read dy
         # (here: produced on-chip, generously counted), read x, write dx
         bytes_moved = 4 * x0.size * 2  # conservative: x read 2x, y+dx written

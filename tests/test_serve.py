@@ -424,3 +424,65 @@ def test_microbatcher_queue_depth_far_exceeds_batch():
         np.testing.assert_array_equal(results[i], np.full((2, 2, 3), v * 3.0))
     assert len(calls) <= 32  # never more calls than requests
     assert sum(calls) >= 32  # every request covered (padding may add slots)
+
+
+def test_raw_uint8_artifact_roundtrip(tmp_path):
+    """A --raw_uint8 artifact (normalize-on-device, 4x less wire traffic)
+    produces bit-comparable heatmaps to the f32 artifact and serves
+    end-to-end; the server auto-detects the input dtype from the avals."""
+    import cv2
+
+    from unipose_tpu.compat.export import export_inference, load_exported
+
+    model = build_model(ModelConfig(dataset="LSP", num_classes=14))
+    size = 64
+    x0 = jnp.zeros((1, size, size, 3))
+    variables = jax.jit(lambda k: model.init(k, x0, train=False))(
+        jax.random.PRNGKey(0)
+    )
+
+    blob_f32 = export_inference(model, variables, (1, size, size, 3))
+    blob_u8 = export_inference(
+        model, variables, (1, size, size, 3), raw_uint8=True
+    )
+    exp_u8 = load_exported(blob_u8)
+    assert exp_u8.in_avals[0].dtype == jnp.uint8
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (size, size, 3), np.uint8)
+    from unipose_tpu.train.steps import preprocess_images
+
+    out_f32 = np.asarray(
+        load_exported(blob_f32).call(
+            np.asarray(preprocess_images(img[None].astype(np.float32)))
+        )
+    )
+    out_u8 = np.asarray(exp_u8.call(img[None]))
+    np.testing.assert_allclose(out_u8, out_f32, rtol=1e-5, atol=1e-5)
+
+    # serve end-to-end on the uint8 artifact
+    art = tmp_path / "u8.hlo"
+    art.write_bytes(blob_u8)
+    import argparse
+    import threading
+
+    ns = argparse.Namespace(
+        artifact=str(art), num_joints=None, dataset="LSP", pretrained=None,
+        size=size, batch_wait_ms=0.0, host="127.0.0.1", port=0,
+    )
+    server = serve_mod.make_server(ns)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        ok, enc = cv2.imencode(".jpg", img)
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/healthz")
+        meta = json.loads(conn.getresponse().read())
+        assert meta["input_dtype"] == "uint8"
+        conn.request("POST", "/predict", enc.tobytes())
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        payload = json.loads(resp.read())
+        assert len(payload["keypoints"]) == 14
+    finally:
+        server.shutdown()

@@ -32,6 +32,13 @@ def main(argv=None):
     p.add_argument("--size", default=368, type=int, help="baked input size")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument(
+        "--raw_uint8",
+        action="store_true",
+        help="artifact takes raw uint8 pixels and normalizes on device — "
+        "4x less host->device transfer per request; cli/serve auto-detects "
+        "the input dtype",
+    )
+    p.add_argument(
         "--int8_frontend",
         action="store_true",
         help="quantize the bandwidth-bound ResNet front end to w8a8 "
@@ -123,7 +130,9 @@ def main(argv=None):
             raise SystemExit("--stream requires --model_arch uniposeLSTM")
         from unipose_tpu.compat.export import export_video_stream
 
-        blob = export_video_stream(model, variables, shape, path=args.out)
+        blob = export_video_stream(
+            model, variables, shape, path=args.out, raw_uint8=args.raw_uint8
+        )
         print(
             f"wrote {args.out}: {len(blob)} bytes, streaming chunk "
             f"{list(shape)}"
@@ -136,6 +145,7 @@ def main(argv=None):
         path=args.out,
         video=video,
         forward=forward,
+        raw_uint8=args.raw_uint8,
     )
     print(f"wrote {args.out}: {len(blob)} bytes, input {list(shape)}")
 

@@ -212,6 +212,7 @@ def make_server(args):
             model,
             {"params": state.params, "batch_stats": state.batch_stats},
             (1, size, size, 3),
+            raw_uint8=True,  # normalize on device: 4x less per-request transfer
         )
 
     stream = is_stream_artifact(blob)
@@ -233,7 +234,10 @@ def make_server(args):
         )
     # The artifact is the source of truth for geometry: flags can't lie
     # about an artifact's shapes — a mismatched --size would turn every
-    # /predict into an opaque 400.
+    # /predict into an opaque 400.  Its input dtype likewise decides the
+    # wire format: uint8 artifacts (export --raw_uint8) normalize on device
+    # and the server ships raw pixels (4x less host->device transfer).
+    raw_u8 = in_avals[0].dtype == jnp.uint8
     in_shape = tuple(in_avals[0].shape)
     baked_batch = int(in_shape[0])
     size = int(in_shape[2] if video else in_shape[1])
@@ -258,8 +262,9 @@ def make_server(args):
                 raise ValueError('body must be {"frames": ["<b64 jpeg>", ...]}')
             imgs = [_decode_image(base64.b64decode(fb)) for fb in frames_b64]
             dims = [(im.shape[1], im.shape[0]) for im in imgs]  # (w0, h0)
+            dt = np.uint8 if raw_u8 else np.float32
             frames = np.stack(
-                [cv2.resize(im, (size, size)).astype(np.float32) for im in imgs]
+                [cv2.resize(im, (size, size)).astype(dt) for im in imgs]
             )
             return frames, dims
 
@@ -269,7 +274,11 @@ def make_server(args):
             if frames.shape[0] < t_target:
                 pad = np.repeat(frames[-1:], t_target - frames.shape[0], axis=0)
                 frames = np.concatenate([frames, pad])
-            clip = np.asarray(preprocess_images(frames))[None]
+            clip = (
+                frames[None]
+                if raw_u8
+                else np.asarray(preprocess_images(frames))[None]
+            )
             if baked_batch > 1:
                 clip = np.concatenate(
                     [clip, np.repeat(clip[-1:], baked_batch - 1, axis=0)]
@@ -333,9 +342,14 @@ def make_server(args):
         def predict(body: bytes):
             img = _decode_image(body)
             h0, w0 = img.shape[:2]
-            img368 = cv2.resize(img, (size, size)).astype(np.float32)
+            img368 = cv2.resize(img, (size, size))
+            x = (
+                img368.astype(np.uint8)
+                if raw_u8
+                else np.asarray(preprocess_images(img368.astype(np.float32)))
+            )
             t0 = time.perf_counter()
-            heat = batcher.infer(np.asarray(preprocess_images(img368)))
+            heat = batcher.infer(x)
             dt = (time.perf_counter() - t0) * 1e3
             return {
                 "keypoints": _argmax_kpts(heat, num_joints, w0, h0),
@@ -347,6 +361,7 @@ def make_server(args):
     meta = {
         "kind": ("video_stream" if stream else "video") if video else "image",
         "input": list(in_shape),
+        "input_dtype": "uint8" if raw_u8 else "float32",
         "num_joints": num_joints,
         "batch": baked_batch,
         "artifact_bytes": len(blob),
