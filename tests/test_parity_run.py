@@ -95,3 +95,66 @@ def test_parity_run_fails_fast_without_artifacts(tmp_path):
             "--torch_ckpt", str(tmp_path / "missing.pth.tar"),
             "--val_dir", str(tmp_path),
         ])
+
+
+def _make_penn_val_root(tmp_path, n_clips, nframes):
+    """Minimal Penn Action layout: val/<id>.npy dicts + frames/<id>/*.jpg
+    (utils/penn_action_data.py:49-56 format)."""
+    root = tmp_path / "penn"
+    os.makedirs(root / "val", exist_ok=True)
+    rng = np.random.RandomState(3)
+    for ci in range(n_clips):
+        clip = f"{ci + 1:04d}"
+        os.makedirs(root / "frames" / clip, exist_ok=True)
+        for f in range(nframes):
+            cv2.imwrite(
+                str(root / "frames" / clip / f"{f + 1:06d}.jpg"),
+                rng.randint(0, 255, (90, 120, 3), np.uint8),
+            )
+        data = {
+            "nframes": nframes,
+            "framepath": f"frames/{clip}",
+            "dimensions": [90, 120],
+            "x": rng.uniform(5, 115, (nframes, 13)),
+            "y": rng.uniform(5, 85, (nframes, 13)),
+            "visibility": np.ones((nframes, 13), np.int64),
+        }
+        np.save(str(root / "val" / f"{clip}.npy"), data, allow_pickle=True)
+    return str(root)
+
+
+@pytest.mark.slow
+def test_parity_run_video_same_weights_pass(tmp_path):
+    """The harness's VIDEO branch: reference uniposeLSTM rollout loop in the
+    torch worker vs our scanned model, same checkpoint, identical clips."""
+    import sys
+
+    torch = pytest.importorskip("torch")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import model.modules.backbone.resnet as ref_resnet
+
+    ref_resnet.model_zoo.load_url = lambda *a, **k: {}
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    import model.uniposeLSTM as ref_lstm
+
+    torch.manual_seed(1)
+    net = ref_lstm.unipose(num_classes=13, stride=8)
+    ckpt = tmp_path / "uniposeLSTM_synthetic.pth.tar"
+    torch.save({"state_dict": net.state_dict()}, str(ckpt))
+
+    val_dir = _make_penn_val_root(tmp_path, n_clips=1, nframes=3)
+
+    from unipose_tpu.cli.parity_run import main
+
+    verdict = main([
+        "--torch_ckpt", str(ckpt),
+        "--val_dir", val_dir,
+        "--dataset", "Penn_Action",
+        "--model_arch", "uniposeLSTM",
+        "--frame_memory", "3",
+        "--max_samples", "1",
+    ])
+    assert verdict["pass"] is True
+    assert abs(verdict["delta_pt"]) < 1e-9
+    assert verdict["heatmap_maxnorm_rel_err"] < 5e-3
