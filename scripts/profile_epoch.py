@@ -25,7 +25,8 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def make_lsp_root(root: str, n: int, h: int = 480, w: int = 640) -> str:
+def make_lsp_root(root: str, n: int, h: int = 480, w: int = 640,
+                  mode: str = "lsp") -> str:
     import cv2
     import scipy.io
 
@@ -40,10 +41,16 @@ def make_lsp_root(root: str, n: int, h: int = 480, w: int = 640) -> str:
             os.path.join(img_dir, f"im{i + 1:05d}.jpg"),
             rng.randint(0, 255, (h, w, 3), np.uint8),
         )
-    joints = np.zeros((3, 14, n))
-    joints[0] = rng.uniform(5, w - 5, (14, n))
-    joints[1] = rng.uniform(5, h - 5, (14, n))
-    joints[2] = rng.randint(0, 2, (14, n))
+    if mode == "lspet":  # (14, 3, N) layout, straight visibility
+        joints = np.zeros((14, 3, n))
+        joints[:, 0, :] = rng.uniform(5, w - 5, (14, n))
+        joints[:, 1, :] = rng.uniform(5, h - 5, (14, n))
+        joints[:, 2, :] = rng.randint(0, 2, (14, n))
+    else:  # lsp (3, 14, N), inverted visibility
+        joints = np.zeros((3, 14, n))
+        joints[0] = rng.uniform(5, w - 5, (14, n))
+        joints[1] = rng.uniform(5, h - 5, (14, n))
+        joints[2] = rng.randint(0, 2, (14, n))
     scipy.io.savemat(os.path.join(root, "joints.mat"), {"joints": joints})
     open(done_marker, "w").close()
     return root
@@ -66,19 +73,30 @@ def main():
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--root", default="/tmp/unipose_epoch_lsp")
+    p.add_argument("--split", default="val", choices=["val", "train"],
+                   help="train = the round-4 native TRAIN path "
+                        "(decode + vectorized flip + epoch shuffle)")
     args = p.parse_args()
 
     from unipose_tpu.data.loader import get_dataloader
 
-    root = make_lsp_root(args.root, args.n)
+    train = args.split == "train"
+    root = make_lsp_root(
+        args.root + ("_train" if train else ""), args.n,
+        mode="lspet" if train else "lsp",
+    )
 
     results = {}
     for label, use_native in (("python", False), ("native", True)):
-        _, val, _ = get_dataloader(
-            "LSP", None, root, 3.0, 8, workers=args.workers,
+        loaders = get_dataloader(
+            "LSP",
+            root if train else None,
+            None if train else root,
+            3.0, 8, workers=args.workers,
             batch_size=args.batch, val_batch_size=args.batch,
             use_native=use_native,
         )
+        val = loaders[0] if train else loaders[1]
         drain(val)  # warm page cache so both runs read hot files
         dt = min(drain(val) for _ in range(2))
         results[label] = args.n / dt

@@ -432,3 +432,60 @@ def test_native_bbc_eval_loader_parity(bbc_root):
     _assert_batches_equal(ntest, ptest)  # Test: no transform
     b = next(iter(nval))
     assert b["frames"].shape == (1, 3, 368, 368, 3)
+
+
+@needs_native
+def test_native_lsp_train_loader_parity(lspet_root):
+    """TRAIN-side native routing: the vectorized decode+flip path is
+    byte-identical to the Python LSPDataset+RandomHorizontalFlip pipeline
+    for deterministic flip decisions (prob 0 and prob 1), including the
+    epoch-shuffle order, hflip's check_vis gate, and the swap pairs."""
+    from unipose_tpu.data import transforms as T
+    from unipose_tpu.data.lsp import LSPDataset
+    from unipose_tpu.data.loader import PrefetchLoader
+    from unipose_tpu.data.native_loader import (
+        _NativeShuffledBatches,
+        native_lsp_train_loader,
+    )
+
+    for prob in (0.0, 1.0):
+        nat = native_lsp_train_loader(
+            LSPDataset("lspet", lspet_root, 3.0, 8, None),
+            batch_size=2, flip_prob=prob, seed=5,
+        )
+        py = PrefetchLoader(
+            LSPDataset(
+                "lspet", lspet_root, 3.0, 8,
+                T.Compose([T.RandomHorizontalFlip(prob=prob)]),
+            ),
+            2, shuffle=True, num_workers=2, seed=5,
+        )
+        for epoch in (0, 1):
+            nat.set_epoch(epoch)
+            py.set_epoch(epoch)
+            _assert_batches_equal(nat, py)
+
+    # factory routes the LSP train split natively
+    tr = get_dataloader(
+        "LSP", lspet_root, None, 3.0, 8, workers=2, batch_size=2, use_native=True
+    )[0]
+    assert isinstance(tr, _NativeShuffledBatches)
+
+
+@needs_native
+def test_native_mpii_train_loader_parity(mpii_root):
+    """MPII training has no geometric augmentation (reference
+    utils.py:247-252), so the full train path runs native; must equal the
+    Python loader batch-for-batch across epoch shuffles."""
+    from unipose_tpu.data.native_loader import _NativeShuffledBatches
+
+    root = mpii_root + "/"
+    mk = lambda un: get_dataloader(  # noqa: E731
+        "MPII", root, None, 3.0, 8, workers=2, batch_size=2, use_native=un,
+    )[0]
+    nat, py = mk(True), mk(False)
+    assert isinstance(nat, _NativeShuffledBatches)
+    for epoch in (0, 1):
+        nat.set_epoch(epoch)
+        py.set_epoch(epoch)
+        _assert_batches_equal(nat, py)

@@ -166,13 +166,26 @@ def get_dataloader(
 
     if dataset == "LSP":
         if train_dir:
-            train_loader = PrefetchLoader(
-                LSPDataset(
-                    "lspet", train_dir, sigma, stride,
-                    T.Compose([T.RandomHorizontalFlip()]),
-                ),
-                batch_size, shuffle=True, num_workers=workers, seed=seed,
-            )
+            if native_ok:
+                # flip-only augmentation vectorizes over the C++ batch
+                # decode (native_lsp_train_loader docstring; pinned
+                # byte-identical to the Python path at flip prob 0/1)
+                from unipose_tpu.data.native_loader import (
+                    native_lsp_train_loader,
+                )
+
+                train_loader = native_lsp_train_loader(
+                    LSPDataset("lspet", train_dir, sigma, stride, None),
+                    batch_size, seed=seed,
+                )
+            else:
+                train_loader = PrefetchLoader(
+                    LSPDataset(
+                        "lspet", train_dir, sigma, stride,
+                        T.Compose([T.RandomHorizontalFlip()]),
+                    ),
+                    batch_size, shuffle=True, num_workers=workers, seed=seed,
+                )
         if val_dir:
             from unipose_tpu.data.native_loader import native_lsp_val_loader
 
@@ -184,10 +197,22 @@ def get_dataloader(
             )
     elif dataset == "MPII":
         if train_dir:
-            train_loader = PrefetchLoader(
-                MPIIDataset(train_dir, sigma, "Train", T.Compose([T.TestResized(368)])),
-                batch_size, shuffle=True, num_workers=workers, seed=seed,
-            )
+            if native_ok:
+                # the reference's MPII training has no geometric aug
+                # (TestResized only) — the whole train path runs native
+                from unipose_tpu.data.native_loader import (
+                    native_mpii_train_loader,
+                )
+
+                train_loader = native_mpii_train_loader(
+                    MPIIDataset(train_dir, sigma, "Train", None),
+                    batch_size, seed=seed,
+                )
+            else:
+                train_loader = PrefetchLoader(
+                    MPIIDataset(train_dir, sigma, "Train", T.Compose([T.TestResized(368)])),
+                    batch_size, shuffle=True, num_workers=workers, seed=seed,
+                )
         if val_dir:
             from unipose_tpu.data.native_loader import native_mpii_val_loader
 

@@ -133,6 +133,108 @@ class _NativeBatches:
                 yield batch
 
 
+class _NativeShuffledBatches:
+    """Train-side twin of ``_NativeBatches``: epoch-seeded shuffling with the
+    SAME permutation discipline as ``PrefetchLoader._order``
+    (``np.random.RandomState(seed + epoch)`` over the sample count) and
+    ``drop_last=True``, so a native train loader visits exactly the samples,
+    in exactly the order, the Python loader would."""
+
+    def __init__(self, n_samples: int, batch_size: int, build, seed: int = 0):
+        self.n_samples = int(n_samples)
+        self.batch_size = int(batch_size)
+        self._build = build  # build(idx_array, epoch) -> batch dict
+        self.seed = int(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        return self.n_samples // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def __iter__(self):
+        order = np.arange(self.n_samples)
+        np.random.RandomState(self.seed + self._epoch).shuffle(order)
+        n_batches = len(self)
+        if not n_batches:
+            return
+        spans = [
+            order[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+        epoch = self._epoch
+        with cf.ThreadPoolExecutor(1) as pool:
+            fut = pool.submit(self._build, spans[0], epoch)
+            for i in range(n_batches):
+                batch = fut.result()
+                if i + 1 < n_batches:
+                    fut = pool.submit(self._build, spans[i + 1], epoch)
+                yield batch
+
+
+def native_lsp_train_loader(
+    ds,
+    batch_size: int,
+    *,
+    flip_prob: float = 0.5,
+    seed: int = 0,
+    n_threads: int = 0,
+):
+    """LSP/LSPET TRAIN split through the C++ core.
+
+    The Python train path is imread -> resize(368) -> RandomHorizontalFlip
+    (data/lsp.py + transforms.py::hflip) — one native batch decode plus a
+    VECTORIZED flip reproduces it exactly: image mirrored, visible keypoints
+    x -> width-1-x (hflip's check_vis gate), center mirrored, per-skeleton
+    swap pairs exchanged (Mytransforms.py:513).  Batches are byte-identical
+    to the Python loader for the same flip decisions (pinned in
+    tests/test_datasets.py with flip prob forced to 0/1).
+
+    Measured host pipeline (BENCHMARKS): the native decode core runs ~3.7×
+    the per-core rate of the Python path — on the training side this is the
+    difference between feeding a chip and starving it.
+    """
+    from unipose_tpu.core.config import DATASETS
+
+    size = ds.input_size
+    paths = list(ds.img_list)
+    kpts = np.asarray(ds.kpt_list, np.float32)
+    centers = np.asarray(ds.center_list, np.float32)
+    scales = np.asarray(ds.scale_list, np.float32)
+    swap_pairs = DATASETS["LSP"].swap_pairs
+
+    def build(idx, epoch):
+        batch_paths = [paths[i] for i in idx]
+        images, _ = native.decode_batch(batch_paths, size, n_threads=n_threads)
+        kp = kpts[idx].astype(np.float64)
+        ct = centers[idx].astype(np.float64)
+        # per-(epoch, sample) flip decisions, independent of batch order
+        flip_rng = np.random.RandomState((seed + 7919 * (epoch + 1)) % (2**31))
+        coins = flip_rng.random_sample(len(paths))[idx]
+        do = coins < flip_prob
+        if do.any():
+            sel = np.nonzero(do)[0]
+            images[sel] = images[sel, :, ::-1]
+            vis_ok = kp[sel][:, :, 2] == 1  # hflip's check_vis gate
+            x = kp[sel][:, :, 0]
+            kp_sel = kp[sel]
+            kp_sel[:, :, 0] = np.where(vis_ok, size - 1 - x, x)
+            for a, b in swap_pairs:
+                kp_sel[:, [a, b]] = kp_sel[:, [b, a]]
+            kp[sel] = kp_sel
+            ct[sel, 0] = size - 1 - ct[sel, 0]
+        return {
+            "image": images,
+            "kpts": kp.astype(np.float32),
+            "center": ct.astype(np.float32),
+            "scale": scales[idx].copy(),
+            "path": batch_paths,
+        }
+
+    return _NativeShuffledBatches(len(paths), batch_size, build, seed=seed)
+
+
 def native_lsp_val_loader(ds, batch_size: int, *, n_threads: int = 0):
     """LSP val through the C++ core.  The Python path is imread ->
     resize(368, INTER_LINEAR) -> TestResized(368) (identity at 368) with
@@ -159,12 +261,9 @@ def native_lsp_val_loader(ds, batch_size: int, *, n_threads: int = 0):
     return _NativeBatches(len(paths), batch_size, build)
 
 
-def native_mpii_val_loader(ds, batch_size: int, *, n_threads: int = 0):
-    """MPII val/test through the C++ core.  Replicates the Python path
-    (data/mpii.py): missing-label back-walk resolved once up front, center
-    y+15*scale & scale*1.25, keypoints rescaled by 368/original-dims (the
-    decoder reports dims), center NOT rescaled (reference quirk,
-    mpii_data.py:159-162 rescales only kpts)."""
+def _mpii_precompute(ds):
+    """Resolve MPII annotations once up front (missing-label back-walk,
+    center y+15*scale & scale*1.25 — data/mpii.py semantics)."""
     import os
 
     paths, kpts, centers, scales = [], [], [], []
@@ -183,28 +282,58 @@ def native_mpii_val_loader(ds, batch_size: int, *, n_threads: int = 0):
             scale = scale * 1.25
         centers.append(center)
         scales.append(scale)
-    kpts = np.asarray(kpts, np.float32)
-    centers = np.asarray(centers, np.float32)
-    scales = np.asarray(scales, np.float32)
+    return (
+        paths,
+        np.asarray(kpts, np.float32),
+        np.asarray(centers, np.float32),
+        np.asarray(scales, np.float32),
+    )
+
+
+def _mpii_batch(paths, kpts, centers, scales, idx, n_threads):
+    """One decoded MPII batch for arbitrary sample indices: keypoints
+    rescaled by 368/original-dims, center NOT rescaled (reference quirk,
+    mpii_data.py:159-162 rescales only kpts)."""
+    batch_paths = [paths[i] for i in idx]
+    images, _, dims = native.decode_batch(
+        batch_paths, 368, n_threads=n_threads, return_dims=True
+    )
+    kp = kpts[idx].copy()
+    ratio = np.where(dims > 0, 368.0 / np.maximum(dims, 1), 1.0)  # (B, 2) rows, cols
+    kp[:, :, 0] *= ratio[:, None, 1].astype(np.float32)
+    kp[:, :, 1] *= ratio[:, None, 0].astype(np.float32)
+    return {
+        "image": images,
+        "kpts": kp,
+        "center": centers[idx].copy(),
+        "scale": scales[idx].copy(),
+        "path": batch_paths,
+    }
+
+
+def native_mpii_val_loader(ds, batch_size: int, *, n_threads: int = 0):
+    """MPII val/test through the C++ core (sequential, no shuffling)."""
+    paths, kpts, centers, scales = _mpii_precompute(ds)
 
     def build(start: int, stop: int):
-        batch_paths = paths[start:stop]
-        images, _, dims = native.decode_batch(
-            batch_paths, 368, n_threads=n_threads, return_dims=True
+        return _mpii_batch(
+            paths, kpts, centers, scales, np.arange(start, stop), n_threads
         )
-        kp = kpts[start:stop].copy()
-        ratio = np.where(dims > 0, 368.0 / np.maximum(dims, 1), 1.0)  # (B, 2) rows, cols
-        kp[:, :, 0] *= ratio[:, None, 1].astype(np.float32)
-        kp[:, :, 1] *= ratio[:, None, 0].astype(np.float32)
-        return {
-            "image": images,
-            "kpts": kp,
-            "center": centers[start:stop].copy(),
-            "scale": scales[start:stop].copy(),
-            "path": list(batch_paths),
-        }
 
     return _NativeBatches(len(paths), batch_size, build)
+
+
+def native_mpii_train_loader(ds, batch_size: int, *, seed: int = 0, n_threads: int = 0):
+    """MPII TRAIN split through the C++ core.  The reference's MPII training
+    uses NO geometric augmentation (TestResized(368) only — utils.py:247-252),
+    so the train path is the val path plus PrefetchLoader's epoch-seeded
+    shuffle/drop_last discipline."""
+    paths, kpts, centers, scales = _mpii_precompute(ds)
+
+    def build(idx, epoch):
+        return _mpii_batch(paths, kpts, centers, scales, idx, n_threads)
+
+    return _NativeShuffledBatches(len(paths), batch_size, build, seed=seed)
 
 
 def native_bbc_eval_loader(ds, batch_size: int, *, n_threads: int = 0):
