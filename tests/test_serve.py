@@ -486,3 +486,72 @@ def test_raw_uint8_artifact_roundtrip(tmp_path):
         assert len(payload["keypoints"]) == 14
     finally:
         server.shutdown()
+
+
+def test_video_clips_micro_batch(tmp_path):
+    """Concurrent clips coalesce into the video artifact's baked batch dim
+    (round 4): two simultaneous /predict_video requests against a batch-2
+    artifact both succeed with per-clip results."""
+    import argparse
+    import base64
+
+    import cv2
+
+    from unipose_tpu.compat.export import export_inference
+    from unipose_tpu.models.unipose_lstm import UniPoseLSTM
+
+    size, t = 64, 2
+    model = UniPoseLSTM(num_classes=13)
+    variables = jax.jit(
+        lambda k: model.init(
+            k,
+            jnp.zeros((1, t, size, size, 3)),
+            jnp.zeros((1, t, size, size, 1)),
+            train=False,
+        )
+    )(jax.random.PRNGKey(0))
+    blob = export_inference(
+        model, variables, (2, t, size, size, 3), video=True, raw_uint8=True
+    )
+    art = tmp_path / "vid2.hlo"
+    art.write_bytes(blob)
+
+    ns = argparse.Namespace(
+        artifact=str(art), num_joints=None, dataset="Penn_Action",
+        pretrained=None, size=size, batch_wait_ms=100.0,
+        host="127.0.0.1", port=0,
+    )
+    server = serve_mod.make_server(ns)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.RandomState(0)
+        frames = []
+        for _ in range(t):
+            ok, enc = cv2.imencode(
+                ".jpg", rng.randint(0, 255, (size, size, 3), np.uint8)
+            )
+            frames.append(base64.b64encode(enc.tobytes()).decode())
+        body = json.dumps({"frames": frames}).encode()
+
+        results = {}
+
+        def client(i):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=180)
+            c.request("POST", "/predict_video", body)
+            r = c.getresponse()
+            results[i] = (r.status, json.loads(r.read()))
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(2)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(180)
+            assert not th.is_alive()
+        for i in range(2):
+            status, payload = results[i]
+            assert status == 200, payload
+            assert len(payload["keypoints"]) == t
+            assert len(payload["keypoints"][0]) == 13
+    finally:
+        server.shutdown()

@@ -313,6 +313,19 @@ def make_server(args):
                 return {"keypoints": kpts, "ms": round(dt, 2)}
 
         else:
+            # Concurrent CLIPS micro-batch into the artifact's baked batch
+            # dim, exactly like concurrent images on the image path (each
+            # MicroBatcher slot is one (T, H, W, 3) clip; the centermap is
+            # server-generated and identical per clip).  Streaming artifacts
+            # can't coalesce — each client's ConvLSTM state is its own.
+            cm_batch = _centermaps(baked_batch, clip_t, size)
+
+            def _call_clips(clips):
+                return call(clips, cm_batch)
+
+            video_batcher = MicroBatcher(
+                _call_clips, baked_batch, wait_ms=args.batch_wait_ms
+            )
 
             def predict_video(body: bytes):
                 frames, dims = _decode_clip(body)
@@ -323,14 +336,21 @@ def make_server(args):
                         f"clip length {clip_t} (export a streaming artifact "
                         "with cli/export --stream to serve long videos)"
                     )
-                clip = _pad_clip(frames, clip_t)
-                t0 = time.perf_counter()
-                heat = np.asarray(
-                    call(clip, _centermaps(baked_batch, clip_t, size))
+                if frames.shape[0] < clip_t:  # repeat-last-frame pad
+                    pad = np.repeat(
+                        frames[-1:], clip_t - frames.shape[0], axis=0
+                    )
+                    frames = np.concatenate([frames, pad])
+                clip = (
+                    frames
+                    if raw_u8
+                    else np.asarray(preprocess_images(frames))
                 )
+                t0 = time.perf_counter()
+                heat = video_batcher.infer(clip)  # (T, h, w, K+1)
                 dt = (time.perf_counter() - t0) * 1e3
                 kpts = [
-                    _argmax_kpts(heat[0, j], num_joints, *dims[j])
+                    _argmax_kpts(heat[j], num_joints, *dims[j])
                     for j in range(t_real)
                 ]
                 return {"keypoints": kpts, "ms": round(dt, 2)}
