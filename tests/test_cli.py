@@ -102,3 +102,25 @@ def test_eval_missing_pretrained_fails_fast(tmp_path):
         )
     msg = str(exc.value)
     assert "not found" in msg and "runbook" in msg
+
+
+def test_sigma_stride_flags():
+    """--sigma/--stride reach TrainConfig (and from there effective_spec);
+    defaults keep the reference's 3.0-image / 1.0-video sigmas."""
+    from unipose_tpu.cli.train import build_argparser, configs_from_args
+
+    args = build_argparser().parse_args(
+        ["--dataset", "LSP", "--sigma", "1.5", "--stride", "4"]
+    )
+    _, tc = configs_from_args(args)
+    assert tc.sigma == 1.5 and tc.stride == 4
+
+    args = build_argparser().parse_args(["--dataset", "LSP"])
+    _, tc = configs_from_args(args)
+    assert tc.sigma == 3.0 and tc.stride is None
+
+    args = build_argparser().parse_args(
+        ["--dataset", "Penn_Action", "--model_arch", "uniposeLSTM"]
+    )
+    _, tc = configs_from_args(args)
+    assert tc.sigma == 1.0

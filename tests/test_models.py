@@ -265,6 +265,27 @@ def test_stream_video_matches_full_rollout(lstm_model, rng):
     assert streamed.shape == full.shape
     np.testing.assert_allclose(streamed, np.asarray(full), rtol=1e-4, atol=1e-5)
 
+    # device-side twin: scan over chunks inside one program == host loop
+    from unipose_tpu.eval.video import stream_video_scan
+
+    scanned = np.asarray(
+        stream_video_scan(
+            m, v["params"], v["batch_stats"], frames, centers, spec, chunk=2
+        )
+    )
+    assert scanned.shape == full.shape
+    np.testing.assert_allclose(scanned, np.asarray(full), rtol=1e-4, atol=1e-5)
+    # single-chunk shape path (n_chunks == 1)
+    one = np.asarray(
+        stream_video_scan(
+            m, v["params"], v["batch_stats"],
+            frames[:, :2], centers[:, :2], spec, chunk=2,
+        )
+    )
+    np.testing.assert_allclose(
+        one, np.asarray(full)[:, :2], rtol=1e-4, atol=1e-5
+    )
+
 
 def test_bbox_head_variant(rng):
     """bbox-head variant: (K+1 keypoint maps, 5 box maps) split, feeding the

@@ -32,6 +32,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", default=None, type=int)
     p.add_argument("--lr", default=1e-4, type=float)
     p.add_argument("--frame_memory", default=5, type=int)
+    p.add_argument("--sigma", default=None, type=float,
+                   help="target Gaussian sigma (default: the reference's "
+                        "3.0 image / 1.0 video)")
+    p.add_argument("--stride", default=None, type=int,
+                   help="heatmap stride override (default: dataset spec's 8)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--freeze_bn", action="store_true",
                    help="fine-tune with BatchNorm frozen to running stats "
@@ -103,10 +108,12 @@ def configs_from_args(args) -> tuple:
     # (uniposeLSTM.py:51); sigma 3 image / 1 video (unipose.py:53,
     # uniposeLSTM.py:55)
     batch = args.batch_size or (1 if video else 8)
+    sigma = getattr(args, "sigma", None)
     train_config = TrainConfig(
         batch_size=batch,
         lr=args.lr,
-        sigma=1.0 if video else 3.0,
+        sigma=sigma if sigma is not None else (1.0 if video else 3.0),
+        stride=getattr(args, "stride", None),
         epochs=args.epochs,
         seed=args.seed,
         model_name=args.model_name,
