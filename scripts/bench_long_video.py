@@ -235,18 +235,15 @@ def main():
     )
     full = np.asarray(full_fwd(frames_all, centers_all))
 
-    step_p = make_stream_step(model_p, spec_p)
-    outs, st = [], None
-    for s0 in range(0, pt, chunk):
-        h, st = step_p(
-            vars_p["params"],
-            vars_p["batch_stats"],
-            frames_all[:, s0 : s0 + chunk],
-            centers_all[:, s0 : s0 + chunk],
-            st,
-        )
-        outs.append(np.asarray(h))
-    chunked = np.concatenate(outs, axis=1)
+    from unipose_tpu.eval.video import stream_video
+
+    # frames_all/centers_all stay device arrays: t_total is a chunk multiple
+    # so stream_video's numpy padding path is skipped and its jnp.asarray
+    # slicing is transfer-free
+    chunked = np.asarray(stream_video(
+        model_p, vars_p["params"], vars_p["batch_stats"],
+        frames_all, centers_all, spec_p, chunk=chunk,
+    ))
 
     d = np.abs(chunked - full)
     scale = np.abs(full).max() or 1.0

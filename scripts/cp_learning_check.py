@@ -47,7 +47,6 @@ def main(argv=None):
 
     force_cpu_platform(args.devices)
 
-    import jax
     from flax import serialization
 
     from unipose_tpu.core.config import DATASETS, ModelConfig, TrainConfig
@@ -85,8 +84,7 @@ def main(argv=None):
 
     src = serialization.msgpack_restore(open(args.ckpt, "rb").read())
     trainer.state = trainer.state.replace(
-        params=jax.tree_util.tree_map(lambda x: x, src["params"]),
-        batch_stats=jax.tree_util.tree_map(lambda x: x, src["batch_stats"]),
+        params=src["params"], batch_stats=src["batch_stats"]
     )
     from unipose_tpu.parallel.mesh import replicate
 

@@ -81,15 +81,9 @@ def _save_ckpt(path, state):
 
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(
-            {"params": jax.tree_util.tree_map(np_asarray, state.params),
-             "batch_stats": jax.tree_util.tree_map(np_asarray, state.batch_stats)}
+            {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)}
         ))
-
-
-def np_asarray(x):
-    import numpy as np
-
-    return np.asarray(x)
 
 
 def _init_from(path, state):
@@ -154,11 +148,11 @@ def eval_pck(forward, loader, spec, dataset="LSP", video=False):
     PCK = np.zeros(k + 1)
     PCKh = np.zeros(k + 1)
     count = np.zeros(k + 1)
+    import jax.numpy as jnp
+
     frames = []
     nchw = lambda a: np.moveaxis(np.asarray(a), -1, 0)  # noqa: E731
     for batch in loader:
-        import jax.numpy as jnp
-
         if video:
             out = forward(batch)  # (B, T, h, w, K+1) channel-last
             tgt_hm = np.asarray(make_targets(jnp.asarray(batch["kpts"]), spec))

@@ -45,6 +45,8 @@ def main(argv=None):
         bf16=args.bf16,
         batch_size=None,
         lr=1e-4,
+        sigma=None,
+        stride=None,
         epochs=1,
         seed=0,
         model_name=None,

@@ -108,12 +108,11 @@ def configs_from_args(args) -> tuple:
     # (uniposeLSTM.py:51); sigma 3 image / 1 video (unipose.py:53,
     # uniposeLSTM.py:55)
     batch = args.batch_size or (1 if video else 8)
-    sigma = getattr(args, "sigma", None)
     train_config = TrainConfig(
         batch_size=batch,
         lr=args.lr,
-        sigma=sigma if sigma is not None else (1.0 if video else 3.0),
-        stride=getattr(args, "stride", None),
+        sigma=args.sigma if args.sigma is not None else (1.0 if video else 3.0),
+        stride=args.stride,
         epochs=args.epochs,
         seed=args.seed,
         model_name=args.model_name,
