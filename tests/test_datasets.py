@@ -489,3 +489,23 @@ def test_native_mpii_train_loader_parity(mpii_root):
         nat.set_epoch(epoch)
         py.set_epoch(epoch)
         _assert_batches_equal(nat, py)
+
+
+def test_penn_factory_clip_batch(penn_root):
+    """Factory Penn train wiring: with explicit ``frame_memory``,
+    ``batch_size`` means clips per step (the batched multichip preset was
+    previously starved by a hardcoded clip-batch of 1); without it, the
+    reference quirk (batch_size -> frame_memory, clip batch 1) is kept."""
+    tr, _, _ = get_dataloader(
+        "Penn_Action", penn_root, None, 1.0, 8, workers=1, batch_size=2,
+        frame_memory=3,
+    )
+    b = next(iter(tr))
+    assert b["frames"].shape == (2, 3, 368, 368, 3)
+    assert b["kpts"].shape == (2, 3, 13, 3)
+
+    tr_quirk, _, _ = get_dataloader(
+        "Penn_Action", penn_root, None, 1.0, 8, workers=1, batch_size=4,
+    )
+    b = next(iter(tr_quirk))
+    assert b["frames"].shape == (1, 4, 368, 368, 3)  # batch_size became T

@@ -230,11 +230,18 @@ def get_dataloader(
     elif dataset == "Penn_Action":
         T_mem = frame_memory or batch_size  # reference quirk (:286)
         if train_dir:
+            # Clip batch: the reference trains video at batch 1
+            # (uniposeLSTM.py:51), which is TrainConfig's default for the
+            # penn preset — but when ``frame_memory`` is passed explicitly,
+            # ``batch_size`` keeps its plain meaning so the batched
+            # multichip preset actually receives batch_size clips per step
+            # (previously hardcoded to 1, silently starving batch>1 runs).
+            clip_batch = batch_size if frame_memory else 1
             train_loader = PrefetchLoader(
                 PennActionDataset(
                     train_dir, sigma, T_mem, True, T.Compose([T.TestResized(368)])
                 ),
-                1, shuffle=True, num_workers=workers, seed=seed,
+                clip_batch, shuffle=True, num_workers=workers, seed=seed,
             )
         if val_dir:
             val_loader = PrefetchLoader(
