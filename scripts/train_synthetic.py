@@ -34,6 +34,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 def build_argparser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--variant", default="image", choices=["image", "lstm"])
+    p.add_argument("--dataset", default="LSP", choices=["LSP", "MPII", "BBC"],
+                   help="skeleton / joint order / metric family "
+                        "(data/synthetic.py SKELETONS)")
+    p.add_argument("--target-metric", default="pck", choices=["pck", "pckh"],
+                   help="which held-out metric gates early stop.  MPII "
+                        "should use pckh: its PCK 'torso' is the "
+                        "reference's scalar-x quirk |pelvis_x - thorax_x| "
+                        "(evaluate.py:156), near zero on upright figures")
     p.add_argument("--size", default=184, type=int,
                    help="input resolution (stride-8 heatmaps)")
     p.add_argument("--batch", default=32, type=int)
@@ -203,10 +211,10 @@ def main(argv=None):
     from unipose_tpu.train.trainer import Trainer
 
     video = args.variant == "lstm"
-    spec = dataclasses.replace(DATASETS["LSP"], input_size=args.size)
+    spec = dataclasses.replace(DATASETS[args.dataset], input_size=args.size)
     model_config = ModelConfig(
-        dataset="LSP",
-        num_classes=14,
+        dataset=args.dataset,
+        num_classes=spec.num_joints,
         variant="lstm" if video else "image",
         frame_memory=args.frame_memory,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
@@ -239,25 +247,30 @@ def main(argv=None):
         val_batch_size=args.val_batch or args.batch,
         frame_memory=args.frame_memory,
         seed=args.seed,
+        dataset=args.dataset,
     )
     trainer = Trainer(model_config, train_config, spec=spec, loaders=loaders)
     if args.init_from:
         trainer.state = _init_from(args.init_from, trainer.state)
 
     t0 = time.time()
-    result = {"variant": args.variant, "size": args.size,
-              "batch": args.batch, "target": args.target,
-              "epochs_to_target": None}
+    result = {"variant": args.variant, "dataset": args.dataset,
+              "size": args.size, "batch": args.batch, "target": args.target,
+              "target_metric": args.target_metric, "epochs_to_target": None}
+    gate = (lambda: trainer.best_pckh) if args.target_metric == "pckh" else (
+        lambda: trainer.best_pck
+    )
     mAP = 0.0
     for epoch in range(args.epochs):
         loss = trainer.training(epoch)
         mAP = trainer.validation(epoch)
         print(
             f"[epoch {epoch}] loss {loss:.5f} mAP {mAP:.4f} "
-            f"PCK@0.2 {trainer.best_pck:.4f} ({time.time() - t0:.0f}s)",
+            f"PCK@0.2 {trainer.best_pck:.4f} PCKh {trainer.best_pckh:.4f} "
+            f"({time.time() - t0:.0f}s)",
             flush=True,
         )
-        if trainer.best_pck >= args.target and result["epochs_to_target"] is None:
+        if gate() >= args.target and result["epochs_to_target"] is None:
             result["epochs_to_target"] = epoch + 1
             break
     result.update(
@@ -283,7 +296,9 @@ def main(argv=None):
         }
         calib = next(iter(loaders[1]))
         calib_x = preprocess_images(jnp.asarray(calib["image"]))
-        _, fwd_int8 = int8_forward_fn(variables, calib_x, num_classes=14)
+        _, fwd_int8 = int8_forward_fn(
+            variables, calib_x, num_classes=model_config.num_classes
+        )
 
         @jax.jit
         def fwd_ref(x):
@@ -295,8 +310,8 @@ def main(argv=None):
         def fw_q(batch):
             return fwd_int8(preprocess_images(jnp.asarray(batch["image"])))
 
-        base = eval_pck(fw_base, loaders[1], trainer.spec)
-        quant = eval_pck(fw_q, loaders[1], trainer.spec)
+        base = eval_pck(fw_base, loaders[1], trainer.spec, dataset=args.dataset)
+        quant = eval_pck(fw_q, loaders[1], trainer.spec, dataset=args.dataset)
         result["base_pck"] = round(float(base["mPCK"]), 4)
         result["int8_pck"] = round(float(quant["mPCK"]), 4)
         result["int8_pck_delta"] = round(

@@ -31,75 +31,157 @@ from typing import Iterator, Optional
 
 import numpy as np
 
-# Canonical LSP-order skeleton in unit body coordinates (x right, y down,
-# origin at pelvis midpoint).  Indices: 0 R ankle, 1 R knee, 2 R hip,
-# 3 L hip, 4 L knee, 5 L ankle, 6 R wrist, 7 R elbow, 8 R shoulder,
-# 9 L shoulder, 10 L elbow, 11 L wrist, 12 neck, 13 head top.
-_SKELETON = np.array(
-    [
-        (-0.16, 0.95),   # 0  right ankle
-        (-0.14, 0.55),   # 1  right knee
-        (-0.12, 0.10),   # 2  right hip
-        (0.12, 0.10),    # 3  left hip
-        (0.14, 0.55),    # 4  left knee
-        (0.16, 0.95),    # 5  left ankle
-        (-0.42, 0.05),   # 6  right wrist
-        (-0.33, -0.30),  # 7  right elbow
-        (-0.20, -0.60),  # 8  right shoulder
-        (0.20, -0.60),   # 9  left shoulder
-        (0.33, -0.30),   # 10 left elbow
-        (0.42, 0.05),    # 11 left wrist
-        (0.0, -0.68),    # 12 neck
-        (0.0, -0.95),    # 13 head top
-    ],
-    np.float32,
-)
-
-_LIMBS = (
-    (0, 1), (1, 2), (2, 3), (3, 4), (4, 5),
-    (6, 7), (7, 8), (8, 12), (12, 9), (9, 10), (10, 11),
-    (2, 12), (3, 12), (12, 13),
-)
-
-# Side-distinct limb strokes (BGR).  Right-side limbs, left-side limbs and
-# the midline get different colors: without this the figure is bilaterally
-# symmetric up to the small joint markers, and the VIDEO variant — whose
-# supervision is squeezed through the 16-channel ConvLSTM bottleneck —
-# reliably falls into a mirror local minimum (both channels of a left/right
-# pair predicted at one side; measured: PCK pinned at exactly 8/14 with a
-# binary per-joint pattern, while the image variant trains past 95%).
-# Real datasets break this symmetry with appearance; synthetic data must
-# break it explicitly for the convergence claim to be testable.
-_RIGHT_JOINTS = frozenset((0, 1, 2, 6, 7, 8))
-_LEFT_JOINTS = frozenset((3, 4, 5, 9, 10, 11))
+# ---------------------------------------------------------------------------
+# Skeleton registry: one articulated body model per supported metric family,
+# in unit body coordinates (x right, y down, origin near the pelvis).  Each
+# carries its dataset's JOINT ORDER (core/config.py joint_names), limb set,
+# unique per-joint marker colors, and the left/right joint sets used for the
+# side-distinct limb strokes.
+# ---------------------------------------------------------------------------
 
 
-def _limb_color(a: int, b: int) -> np.ndarray:
-    if a in _RIGHT_JOINTS and b in _RIGHT_JOINTS:
-        return np.array((60.0, 60.0, 190.0), np.float32)  # right: red-ish
-    if a in _LEFT_JOINTS and b in _LEFT_JOINTS:
-        return np.array((190.0, 90.0, 40.0), np.float32)  # left: blue-ish
-    return np.array((90.0, 90.0, 90.0), np.float32)       # midline: gray
+@dataclasses.dataclass(frozen=True)
+class Skeleton:
+    name: str
+    points: np.ndarray          # (K, 2) unit body coords
+    limbs: tuple                # joint-index pairs
+    colors: np.ndarray          # (K, 3) BGR marker colors
+    right: frozenset            # right-side joint indices
+    left: frozenset             # left-side joint indices
 
-# One saturated, unique marker color per joint (BGR, matching the loaders'
-# channel convention) — joint identity is decodable from local appearance,
-# which is what makes the task easy enough to demand near-perfect PCK.
-_COLORS = np.array(
+    @property
+    def num_joints(self) -> int:
+        return len(self.points)
+
+
+# Base palette of saturated, mutually distinct BGR marker colors.
+_PALETTE = np.array(
     [
         (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0),
         (255, 0, 255), (0, 255, 255), (128, 255, 0), (255, 128, 0),
         (0, 128, 255), (128, 0, 255), (255, 0, 128), (0, 255, 128),
-        (255, 255, 255), (128, 128, 255),
+        (255, 255, 255), (128, 128, 255), (64, 192, 255), (255, 192, 64),
+        (192, 64, 128), (64, 128, 64), (200, 200, 80),
     ],
     np.float32,
 )
 
+# LSP order (utils/lsp_lspet_data.py): 0 R ankle .. 13 head top.
+_LSP_SKELETON = Skeleton(
+    name="LSP",
+    points=np.array(
+        [
+            (-0.16, 0.95),   # 0  right ankle
+            (-0.14, 0.55),   # 1  right knee
+            (-0.12, 0.10),   # 2  right hip
+            (0.12, 0.10),    # 3  left hip
+            (0.14, 0.55),    # 4  left knee
+            (0.16, 0.95),    # 5  left ankle
+            (-0.42, 0.05),   # 6  right wrist
+            (-0.33, -0.30),  # 7  right elbow
+            (-0.20, -0.60),  # 8  right shoulder
+            (0.20, -0.60),   # 9  left shoulder
+            (0.33, -0.30),   # 10 left elbow
+            (0.42, 0.05),    # 11 left wrist
+            (0.0, -0.68),    # 12 neck
+            (0.0, -0.95),    # 13 head top
+        ],
+        np.float32,
+    ),
+    limbs=(
+        (0, 1), (1, 2), (2, 3), (3, 4), (4, 5),
+        (6, 7), (7, 8), (8, 12), (12, 9), (9, 10), (10, 11),
+        (2, 12), (3, 12), (12, 13),
+    ),
+    colors=_PALETTE[:14],
+    right=frozenset((0, 1, 2, 6, 7, 8)),
+    left=frozenset((3, 4, 5, 9, 10, 11)),
+)
+
+# MPII order (core/config.py MPII.joint_names): adds pelvis/thorax/upper-neck
+# midline joints; its PCKh head segment is upper-neck..head-top (channels
+# 9/10 in evaluate.py:125) and its PCK "torso" is the reference's scalar-x
+# quirk |pelvis_x - thorax_x| (evaluate.py:156) — near zero on upright
+# figures, which is why MPII learning validation targets PCKh (MPII's
+# standard metric anyway).
+_MPII_SKELETON = Skeleton(
+    name="MPII",
+    points=np.array(
+        [
+            (-0.16, 0.95), (-0.14, 0.55), (-0.12, 0.10),   # R leg
+            (0.12, 0.10), (0.14, 0.55), (0.16, 0.95),      # L leg
+            (0.0, 0.10),    # 6  pelvis
+            (0.0, -0.45),   # 7  thorax
+            (0.0, -0.68),   # 8  upper neck
+            (0.0, -0.95),   # 9  head top
+            (-0.42, 0.05), (-0.33, -0.30), (-0.20, -0.60),  # R arm
+            (0.20, -0.60), (0.33, -0.30), (0.42, 0.05),     # L arm
+        ],
+        np.float32,
+    ),
+    limbs=(
+        (0, 1), (1, 2), (2, 6), (6, 3), (3, 4), (4, 5),
+        (6, 7), (7, 8), (8, 9),
+        (10, 11), (11, 12), (12, 7), (7, 13), (13, 14), (14, 15),
+    ),
+    colors=_PALETTE[:16],
+    right=frozenset((0, 1, 2, 10, 11, 12)),
+    left=frozenset((3, 4, 5, 13, 14, 15)),
+)
+
+# BBC order (core/config.py BBC.joint_names): 7 upper-body joints; the
+# metric's "neck" is the shoulder midpoint (evaluate.py:144-149).
+_BBC_SKELETON = Skeleton(
+    name="BBC",
+    points=np.array(
+        [
+            (0.0, -0.90),    # 0 head
+            (0.45, 0.30),    # 1 left hand
+            (-0.45, 0.30),   # 2 right hand
+            (0.33, -0.10),   # 3 left elbow
+            (-0.33, -0.10),  # 4 right elbow
+            (0.20, -0.55),   # 5 left shoulder
+            (-0.20, -0.55),  # 6 right shoulder
+        ],
+        np.float32,
+    ),
+    limbs=((1, 3), (3, 5), (2, 4), (4, 6), (5, 6), (0, 5), (0, 6)),
+    colors=_PALETTE[:7],
+    right=frozenset((2, 4, 6)),
+    left=frozenset((1, 3, 5)),
+)
+
+SKELETONS = {s.name: s for s in (_LSP_SKELETON, _MPII_SKELETON, _BBC_SKELETON)}
+
+# Backwards-compatible module constants (LSP is the default skeleton).
+_SKELETON = _LSP_SKELETON.points
+_LIMBS = _LSP_SKELETON.limbs
+_COLORS = _LSP_SKELETON.colors
+_RIGHT_JOINTS = _LSP_SKELETON.right
+_LEFT_JOINTS = _LSP_SKELETON.left
 NUM_JOINTS = 14
 
+# Side-distinct limb strokes (BGR).  Right-side limbs, left-side limbs and
+# the midline get different colors: without this the figure is bilaterally
+# symmetric up to the small joint markers, and the VIDEO variant — whose
+# supervision is squeezed through the ConvLSTM bottleneck — can fall into a
+# mirror local minimum (measured before side colors landed: PCK pinned at
+# exactly 8/14 with a binary per-joint pattern).  Real datasets break this
+# symmetry with appearance; synthetic data must break it explicitly.
 
-def _render_sample(rng: np.random.RandomState, size: int):
+
+def _limb_color(a: int, b: int, skel: Skeleton = _LSP_SKELETON) -> np.ndarray:
+    if a in skel.right and b in skel.right:
+        return np.array((60.0, 60.0, 190.0), np.float32)  # right: red-ish
+    if a in skel.left and b in skel.left:
+        return np.array((190.0, 90.0, 40.0), np.float32)  # left: blue-ish
+    return np.array((90.0, 90.0, 90.0), np.float32)       # midline: gray
+
+
+def _render_sample(rng: np.random.RandomState, size: int,
+                   skel: Skeleton = _LSP_SKELETON):
     """One figure: returns (image (size, size, 3) float32 0..255,
-    kpts (14, 3) float32 pixel coords + visibility=1, center (2,))."""
+    kpts (K, 3) float32 pixel coords + visibility=1, center (2,))."""
     # placement: keep every joint well inside the border (border-adjacent
     # targets are masked by the metric's visibility gate, evaluate.py:12-17)
     scale = size * rng.uniform(0.30, 0.42)
@@ -108,7 +190,7 @@ def _render_sample(rng: np.random.RandomState, size: int):
         [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]],
         np.float32,
     )
-    pts = _SKELETON + rng.normal(0.0, 0.015, _SKELETON.shape).astype(np.float32)
+    pts = skel.points + rng.normal(0.0, 0.015, skel.points.shape).astype(np.float32)
     pts = pts @ rot.T * scale
     lo, hi = pts.min(0), pts.max(0)
     margin = 0.08 * size
@@ -116,8 +198,10 @@ def _render_sample(rng: np.random.RandomState, size: int):
     cy = rng.uniform(margin - lo[1], size - margin - hi[1])
     pts = pts + np.array([cx, cy], np.float32)
 
-    img = _render_from_kpts(pts, size, rng)
-    kpts = np.concatenate([pts, np.ones((NUM_JOINTS, 1), np.float32)], axis=1)
+    img = _render_from_kpts(pts, size, rng, skel)
+    kpts = np.concatenate(
+        [pts, np.ones((skel.num_joints, 1), np.float32)], axis=1
+    )
     center = np.array([cx, cy], np.float32)
     return img, kpts, center
 
@@ -138,10 +222,12 @@ class SyntheticPoseLoader:
     input_size: int = 184
     seed: int = 0
     fixed: bool = False  # val split: identical order every epoch
+    dataset: str = "LSP"  # skeleton / joint order (SKELETONS)
 
     def __post_init__(self):
         self._epoch = 0
         self._cache = {}
+        self._skel = SKELETONS[self.dataset]
 
     def __len__(self) -> int:
         return (self.num_samples + self.batch_size - 1) // self.batch_size
@@ -154,7 +240,7 @@ class SyntheticPoseLoader:
             rng = np.random.RandomState(
                 (self.seed * 1_000_003 + index) % (2**31 - 1)
             )
-            img, kp, _ = _render_sample(rng, self.input_size)
+            img, kp, _ = _render_sample(rng, self.input_size, self._skel)
             self._cache[index] = (img, kp)
         return self._cache[index]
 
@@ -183,10 +269,12 @@ class SyntheticVideoLoader:
     input_size: int = 184
     seed: int = 0
     fixed: bool = False
+    dataset: str = "LSP"  # skeleton / joint order (SKELETONS)
 
     def __post_init__(self):
         self._epoch = 0
         self._cache = {}
+        self._skel = SKELETONS[self.dataset]
 
     def __len__(self) -> int:
         return (self.num_clips + self.batch_size - 1) // self.batch_size
@@ -199,7 +287,7 @@ class SyntheticVideoLoader:
             (self.seed * 1_000_003 + index) % (2**31 - 1)
         )
         size, t = self.input_size, self.frame_memory
-        img0, kp0, c0 = _render_sample(rng, size)
+        img0, kp0, c0 = _render_sample(rng, size, self._skel)
         vel = rng.uniform(-0.015 * size, 0.015 * size, 2).astype(np.float32)
         frames, kpts, centers = [img0], [kp0], [c0]
         for _ in range(1, t):
@@ -210,8 +298,10 @@ class SyntheticVideoLoader:
             if nk.min() < 0.04 * size or nk.max() > 0.96 * size:
                 vel = -vel
                 nk = prev_k[:, :2] + vel
-            k = np.concatenate([nk, np.ones((NUM_JOINTS, 1), np.float32)], 1)
-            frames.append(_render_from_kpts(nk, size, rng))
+            k = np.concatenate(
+                [nk, np.ones((self._skel.num_joints, 1), np.float32)], 1
+            )
+            frames.append(_render_from_kpts(nk, size, rng, self._skel))
             kpts.append(k)
             centers.append(centers[-1] + vel)
         return np.stack(frames), np.stack(kpts), np.stack(centers)
@@ -236,7 +326,8 @@ class SyntheticVideoLoader:
 
 
 def _render_from_kpts(
-    pts: np.ndarray, size: int, rng: np.random.RandomState
+    pts: np.ndarray, size: int, rng: np.random.RandomState,
+    skel: Skeleton = _LSP_SKELETON,
 ) -> np.ndarray:
     """Render one frame for given joint pixel positions: background clutter,
     side-colored limb strokes, unique per-joint color markers."""
@@ -247,17 +338,17 @@ def _render_from_kpts(
         w, h = rng.randint(2, max(3, size // 8), 2)
         img[y0 : y0 + h, x0 : x0 + w] += rng.uniform(0, 40)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
-    for a, b in _LIMBS:
+    for a, b in skel.limbs:
         pa, pb = pts[a], pts[b]
         d = pb - pa
         L2 = float(d @ d) + 1e-6
         t = np.clip(((xx - pa[0]) * d[0] + (yy - pa[1]) * d[1]) / L2, 0.0, 1.0)
         dist2 = (xx - (pa[0] + t * d[0])) ** 2 + (yy - (pa[1] + t * d[1])) ** 2
-        img[dist2 < (0.012 * size) ** 2] = _limb_color(a, b)
+        img[dist2 < (0.012 * size) ** 2] = _limb_color(a, b, skel)
     r2 = (0.022 * size) ** 2
-    for j in range(NUM_JOINTS):
+    for j in range(skel.num_joints):
         mask = (xx - pts[j, 0]) ** 2 + (yy - pts[j, 1]) ** 2 < r2
-        img[mask] = _COLORS[j]
+        img[mask] = skel.colors[j]
     return np.clip(img + rng.normal(0, 4.0, img.shape), 0, 255).astype(np.float32)
 
 
@@ -271,8 +362,11 @@ def make_loaders(
     val_batch_size: Optional[int] = None,
     frame_memory: int = 5,
     seed: int = 0,
+    dataset: str = "LSP",
 ):
-    """(train_loader, val_loader, None) for Trainer(loaders=...)."""
+    """(train_loader, val_loader, None) for Trainer(loaders=...).
+    ``dataset`` selects the skeleton / joint order (SKELETONS: LSP, MPII,
+    BBC) so the learning validation can exercise each metric family."""
     vb = val_batch_size or batch_size
     if variant == "lstm":
         return (
@@ -282,6 +376,7 @@ def make_loaders(
                 frame_memory=frame_memory,
                 input_size=input_size,
                 seed=seed,
+                dataset=dataset,
             ),
             SyntheticVideoLoader(
                 num_clips=val_samples,
@@ -290,6 +385,7 @@ def make_loaders(
                 input_size=input_size,
                 seed=seed + 777,
                 fixed=True,
+                dataset=dataset,
             ),
             None,
         )
@@ -299,6 +395,7 @@ def make_loaders(
             batch_size=batch_size,
             input_size=input_size,
             seed=seed,
+            dataset=dataset,
         ),
         SyntheticPoseLoader(
             num_samples=val_samples,
@@ -306,6 +403,7 @@ def make_loaders(
             input_size=input_size,
             seed=seed + 777,
             fixed=True,
+            dataset=dataset,
         ),
         None,
     )
