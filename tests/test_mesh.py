@@ -181,12 +181,16 @@ print("SMOKE_OK", jax.process_index(), float(got.sum()), flush=True)
 def test_make_mesh_rejects_stranded_devices(eight_devices):
     """A mesh whose shape divides the device count unevenly silently leaves
     chips idle (ADVICE r3: (-1, 3) on 8 chips trained on 6 with no warning);
-    exact smaller meshes stay allowed (the single-chip (1,) default)."""
-    with pytest.raises(ValueError, match="strand"):
+    exact smaller meshes stay allowed (the single-chip (1,) default) but
+    warn visibly, with the true stranded count (ADVICE r4: (3,) on 8
+    strands 5, not 8%3)."""
+    with pytest.raises(ValueError, match="stranding 2"):
         make_mesh((-1, 3), ("data", "time"))
-    with pytest.raises(ValueError, match="strand"):
+    with pytest.raises(ValueError, match="stranding 5"):
         make_mesh((3,), ("data",))
     with pytest.raises(ValueError, match="devices"):
         make_mesh((16,), ("data",))
-    assert make_mesh((1,), ("data",)).devices.shape == (1,)
-    assert make_mesh((2,), ("data",)).devices.shape == (2,)
+    with pytest.warns(UserWarning, match="7 idle"):
+        assert make_mesh((1,), ("data",)).devices.shape == (1,)
+    with pytest.warns(UserWarning, match="6 idle"):
+        assert make_mesh((2,), ("data",)).devices.shape == (2,)

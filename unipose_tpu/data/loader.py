@@ -127,12 +127,17 @@ def get_dataloader(
     the val/test forward for throughput; metric semantics are per-frame
     either way (train/trainer.py validation).
 
-    ``use_native`` — route the no-augmentation eval splits (LSP val,
-    MPII val/test, BBC val/test) through the C++ decode core
-    (data/native_loader.py), which produces batches identical to the Python
-    path (pinned by tests) with zero per-sample Python work.  ``None`` =
-    auto (on when the native lib builds/loads); augmented train paths always
-    keep the Python transforms.
+    ``use_native`` — route splits through the C++ decode core
+    (data/native_loader.py): the no-augmentation eval splits (LSP val,
+    MPII val/test, BBC val/test) AND the train splits whose augmentation
+    is absent or a vectorizable flip (LSP train — flip applied across the
+    decoded batch; MPII train — TestResized only).  Batches are pinned
+    identical to the Python path by tests (flip parity at prob 0/1; seeded
+    runs draw flip coins from a different stream than the Python
+    ``random.random()``, so realizations differ at 0<p<1 —
+    native_lsp_train_loader docstring).  ``None`` = auto (on when the
+    native lib builds/loads); richer augmentations (NTID/PoseTrack/BBC
+    train) keep the Python transforms.
     """
     from unipose_tpu.data.bbc import BBCDataset
     from unipose_tpu.data.lsp import LSPDataset

@@ -191,6 +191,13 @@ def native_lsp_train_loader(
     to the Python loader for the same flip decisions (pinned in
     tests/test_datasets.py with flip prob forced to 0/1).
 
+    Seed-level augmentation reproducibility across the native/Python toggle
+    only holds at deterministic flip probabilities (0/1): this loader draws
+    per-(epoch, sample) coins from its own RandomState stream while the
+    Python path consumes the global ``random.random()`` inside
+    RandomHorizontalFlip, so at 0<p<1 the two paths realize different flip
+    sequences for the same seed (same distribution, different draws).
+
     Measured honestly (BENCHMARKS host-pipeline section): ~1.1× on this
     1-vCPU box (both paths bottleneck on the same OpenCV decode); the
     structural win is the C++ pool fanning out across real host cores and

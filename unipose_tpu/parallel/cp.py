@@ -55,27 +55,33 @@ def clip_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", "time"))
 
 
-def shard_clip_batch(batch, mesh: Mesh):
-    """Put a host video batch onto a (data, time) mesh with (B, T) leading
-    dims sharded over both axes.  Non-array leaves pass through.
+# Leaf names that are (B, T, ...) per-FRAME clip tensors — dim 1 is time and
+# shards over the 'time' axis.  Anything else is per-CLIP and shards over
+# 'data' only (ADVICE r4: a rank-based heuristic would wrongly send a
+# (B, K, 3) per-clip leaf's K dim over 'time').
+CLIP_LEAVES = frozenset({"frames", "kpts", "centers"})
 
-    Only leaves with ndim >= 3 can be (B, T, ...) clip tensors (frames,
-    kpts, centers all qualify); 1-D/2-D leaves (e.g. a per-clip label or
-    key) are per-*clip*, so they shard over ``data`` only — sharding a
-    (B, features) array's second dim over ``time`` would be a silent wrong
-    placement (and a divisibility failure for small feature dims)."""
+
+def shard_clip_batch(batch, mesh: Mesh):
+    """Put a host video batch onto a (data, time) mesh: the known per-frame
+    leaves (``CLIP_LEAVES`` — (B, T, ...) tensors) shard (B, T) over
+    (data, time); every other array leaf is per-clip and shards its leading
+    dim over ``data`` only.  Non-array leaves pass through."""
     sharding = clip_sharding(mesh)
     data_only = NamedSharding(mesh, P("data"))
 
-    def put(x):
+    def put(path, x):
         if isinstance(x, (np.ndarray, jax.Array)):
-            if x.ndim >= 3:
+            name = path[-1].key if path and hasattr(path[-1], "key") else None
+            if name in CLIP_LEAVES and x.ndim >= 2:
                 return jax.device_put(x, sharding)
             if x.ndim >= 1:
                 return jax.device_put(x, data_only)
         return x
 
-    return jax.tree_util.tree_map(put, batch, is_leaf=lambda x: not isinstance(x, dict))
+    return jax.tree_util.tree_map_with_path(
+        put, batch, is_leaf=lambda x: not isinstance(x, dict)
+    )
 
 
 def under_mesh(mesh: Mesh, fn):

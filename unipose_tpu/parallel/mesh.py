@@ -11,6 +11,7 @@ before building the mesh on multi-host slices).
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -102,15 +103,24 @@ def make_mesh(
             f"mesh shape {tuple(shape)} needs {n} devices but only "
             f"{len(devices)} are available"
         )
-    # A mesh that divides the device count unevenly silently strands the
-    # remainder (e.g. 8 chips with (-1, 3) -> a 2x3 mesh leaves 2 idle).
-    # An exact smaller mesh (e.g. (1,) on an 8-device host for single-chip
-    # runs) is a deliberate choice and stays allowed.
-    if len(devices) % n != 0:
-        raise ValueError(
-            f"mesh shape {tuple(shape)} uses {n} of {len(devices)} devices, "
-            f"stranding {len(devices) % n}; pick a shape whose product "
-            "divides the device count (or pass `devices` explicitly)"
+    # A mesh smaller than the device pool strands the rest (e.g. 8 chips
+    # with (-1, 3) -> a 2x3 mesh leaves 2 idle; (3,) leaves 5).  Non-divisor
+    # shapes are almost certainly a divisibility mistake -> error.  An exact
+    # smaller mesh (e.g. (1,) on an 8-device host for single-chip runs) is a
+    # legitimate deliberate choice -> allowed, but visibly (ADVICE r4:
+    # silent divisor sub-meshes partially defeat the guard).
+    if n < len(devices):
+        stranded = len(devices) - n
+        if len(devices) % n != 0:
+            raise ValueError(
+                f"mesh shape {tuple(shape)} uses {n} of {len(devices)} "
+                f"devices, stranding {stranded}; pick a shape whose product "
+                "divides the device count (or pass `devices` explicitly)"
+            )
+        warnings.warn(
+            f"mesh shape {tuple(shape)} uses {n} of {len(devices)} devices "
+            f"({stranded} idle); pass `devices` explicitly to silence",
+            stacklevel=2,
         )
     dev_array = np.asarray(devices[:n]).reshape(shape)
     return Mesh(dev_array, tuple(axes))
