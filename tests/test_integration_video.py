@@ -109,3 +109,30 @@ def test_video_trainer_end_to_end(tmp_path):
     assert np.isfinite(loss)
     mAP = trainer.validation(0)
     assert 0.0 <= mAP <= 1.0
+
+
+@pytest.mark.slow
+def test_video_cli_e2e_disk_path(tmp_path):
+    """Reduced in-suite version of scripts/cli_e2e_video_synthetic.py: the
+    COMPOSED video user path — synthetic clips in the reference's on-disk
+    Penn Action layout (penn_action_data.py:49-56) -> `cli.train` argparse
+    -> production factory (batch_size->frame_memory quirk, real
+    PennActionDataset with random train windows) -> GSPMD video trainer ->
+    per-frame validation -> best-checkpoint save.  The accuracy leg (PCK
+    target through this path) is the TPU run recorded in
+    docs/BENCHMARKS.md; here one epoch pins the plumbing."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import cli_e2e_video_synthetic as e2e
+
+    result = e2e.main([
+        "--size", "64", "--train-clips", "8", "--val-clips", "4",
+        "--train-nframes", "5", "--frame-memory", "3", "--batch", "8",
+        "--epochs", "1", "--target", "0",
+        "--workdir", str(tmp_path),
+    ])
+    assert result["epochs_to_target"] == 1
+    assert result["steps"] == 1  # 8 clips / clip-batch 8, drop_last
+    assert 0.0 <= result["pck"] <= 1.0
+    assert result["best_ckpt_saved"]

@@ -102,6 +102,7 @@ def get_dataloader(
     seed: int = 0,
     val_batch_size: int = 1,
     use_native: Optional[bool] = None,
+    input_size: int = 368,
 ):
     """Dataset wiring mirroring the reference factory
     (utils/utils.py:231-351):
@@ -138,6 +139,10 @@ def get_dataloader(
     native_lsp_train_loader docstring).  ``None`` = auto (on when the
     native lib builds/loads); richer augmentations (NTID/PoseTrack/BBC
     train) keep the Python transforms.
+
+    ``input_size`` — frame resolution (default 368, the reference's fixed
+    value everywhere); honored by the Penn_Action branch so reduced-size
+    smoke runs can drive the real disk pipeline (this-framework extension).
     """
     from unipose_tpu.data.bbc import BBCDataset
     from unipose_tpu.data.lsp import LSPDataset
@@ -244,14 +249,18 @@ def get_dataloader(
             clip_batch = batch_size if frame_memory else 1
             train_loader = PrefetchLoader(
                 PennActionDataset(
-                    train_dir, sigma, T_mem, True, T.Compose([T.TestResized(368)])
+                    train_dir, sigma, T_mem, True,
+                    T.Compose([T.TestResized(input_size)]),
+                    input_size=input_size,
                 ),
                 clip_batch, shuffle=True, num_workers=workers, seed=seed,
             )
         if val_dir:
             val_loader = PrefetchLoader(
                 PennActionDataset(
-                    val_dir, sigma, T_mem, False, T.Compose([T.TestResized(368)])
+                    val_dir, sigma, T_mem, False,
+                    T.Compose([T.TestResized(input_size)]),
+                    input_size=input_size,
                 ),
                 val_batch_size, shuffle=False, num_workers=workers, drop_last=False,
             )

@@ -46,13 +46,18 @@ class PennActionDataset:
         is_train: bool,
         transformer=None,
         rng: Optional[np.random.RandomState] = None,
+        input_size: int = 368,
     ):
+        """``input_size`` generalizes the reference's hardcoded 368
+        (penn_action_data.py:28-29 height=width=368); non-default values are
+        a this-framework extension (reduced-size smoke runs)."""
         self.root_dir = root_dir
         self.sigma = sigma
         self.seq_len = int(frame_memory)
         self.is_train = bool(is_train)
         self.transformer = transformer
         self.rng = rng or np.random
+        self.input_size = int(input_size)
         self.data_dir = os.path.join(root_dir, "train" if is_train else "val")
         self.frame_dir = os.path.join(root_dir, "frames")
         self.frames_data = sorted(os.listdir(self.data_dir))
@@ -86,9 +91,10 @@ class PennActionDataset:
         else:
             start = 0
 
-        frames = np.zeros((self.seq_len, 368, 368, 3), np.float32)
+        size = self.input_size
+        frames = np.zeros((self.seq_len, size, size, 3), np.float32)
         kpts = np.zeros((self.seq_len, self.num_joints, 3), np.float32)
-        centers = np.full((self.seq_len, 2), 184.0, np.float32)
+        centers = np.full((self.seq_len, 2), size / 2.0, np.float32)
         paths = []
 
         for i in range(self.seq_len):
@@ -112,11 +118,11 @@ class PennActionDataset:
                 centers[i] = center
             else:
                 h0, w0 = img.shape[:2]
-                kp[:, 0] *= 368.0 / w0
-                kp[:, 1] *= 368.0 / h0
-                img = cv2.resize(img, (368, 368))
-            if img.shape[:2] != (368, 368):
-                img = cv2.resize(img, (368, 368))
+                kp[:, 0] *= float(size) / w0
+                kp[:, 1] *= float(size) / h0
+                img = cv2.resize(img, (size, size))
+            if img.shape[:2] != (size, size):
+                img = cv2.resize(img, (size, size))
             frames[i] = np.asarray(img, np.float32)
             kpts[i] = kp
 

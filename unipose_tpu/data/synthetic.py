@@ -151,7 +151,45 @@ _BBC_SKELETON = Skeleton(
     left=frozenset((1, 3, 5)),
 )
 
-SKELETONS = {s.name: s for s in (_LSP_SKELETON, _MPII_SKELETON, _BBC_SKELETON)}
+# Penn Action order (core/config.py PENN_ACTION.joint_names): 13 joints,
+# head first, then alternating R/L shoulder..ankle; its PCKh "head" segment
+# is head..shoulder-midpoint and torso is shoulder-mid..hip-mid
+# (evaluate.py:99-104, 141-143 via eval/metrics.py).
+_PENN_SKELETON = Skeleton(
+    name="Penn_Action",
+    points=np.array(
+        [
+            (0.0, -0.95),    # 0  head
+            (-0.20, -0.60),  # 1  right shoulder
+            (0.20, -0.60),   # 2  left shoulder
+            (-0.33, -0.30),  # 3  right elbow
+            (0.33, -0.30),   # 4  left elbow
+            (-0.42, 0.05),   # 5  right wrist
+            (0.42, 0.05),    # 6  left wrist
+            (-0.12, 0.10),   # 7  right hip
+            (0.12, 0.10),    # 8  left hip
+            (-0.14, 0.55),   # 9  right knee
+            (0.14, 0.55),    # 10 left knee
+            (-0.16, 0.95),   # 11 right ankle
+            (0.16, 0.95),    # 12 left ankle
+        ],
+        np.float32,
+    ),
+    limbs=(
+        (0, 1), (0, 2), (1, 2),
+        (1, 3), (3, 5), (2, 4), (4, 6),
+        (1, 7), (2, 8), (7, 8),
+        (7, 9), (9, 11), (8, 10), (10, 12),
+    ),
+    colors=_PALETTE[:13],
+    right=frozenset((1, 3, 5, 7, 9, 11)),
+    left=frozenset((2, 4, 6, 8, 10, 12)),
+)
+
+SKELETONS = {
+    s.name: s
+    for s in (_LSP_SKELETON, _MPII_SKELETON, _BBC_SKELETON, _PENN_SKELETON)
+}
 
 # Backwards-compatible module constants (LSP is the default skeleton).
 _SKELETON = _LSP_SKELETON.points

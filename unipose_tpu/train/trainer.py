@@ -72,6 +72,7 @@ class Trainer:
                     frame_memory=model_config.frame_memory if self.video else None,
                     seed=train_config.seed,
                     val_batch_size=train_config.val_batch_size,
+                    input_size=self.spec.input_size,
                 )
                 if (train_dir or val_dir)
                 else (None, None, None)
