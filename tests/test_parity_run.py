@@ -83,6 +83,10 @@ def test_parity_run_same_weights_pass(tmp_path):
     # same weights on both sides: identical metric, near-identical heatmaps
     assert abs(verdict["delta_pt"]) < 1e-9
     assert verdict["worst_joint_delta_pt"] < 1e-9
+    # strict on the PCKh axis too (r4 weak #1): all four gates green
+    assert abs(verdict["delta_pckh_pt"]) < 1e-9
+    assert verdict["worst_joint_delta_pckh_pt"] < 1e-9
+    assert all(verdict["gates"].values())
     assert verdict["heatmap_maxnorm_rel_err"] < 5e-4
     assert os.path.exists(out)
 
@@ -157,4 +161,44 @@ def test_parity_run_video_same_weights_pass(tmp_path):
     ])
     assert verdict["pass"] is True
     assert abs(verdict["delta_pt"]) < 1e-9
+    assert abs(verdict["delta_pckh_pt"]) < 1e-9
+    assert verdict["worst_joint_delta_pckh_pt"] < 1e-9
+    assert all(verdict["gates"].values())
     assert verdict["heatmap_maxnorm_rel_err"] < 5e-3
+
+
+def test_parity_gates_single_joint_regression_fails():
+    """VERDICT r4 weak #1: a regression localized to ONE joint (~1pt on one
+    of 14 => <0.1pt on the mean) must NOT pass; neither may a PCKh-only
+    regression with PCK identical.  The gate math is pure
+    (compute_verdict); the e2e legs above pin that main() routes through
+    it with real heatmaps."""
+    from unipose_tpu.cli.parity_run import compute_verdict
+
+    k = 14
+    ref = np.full(k + 1, 0.95)
+
+    # identical metrics -> every gate green
+    v = compute_verdict(ref, ref.copy(), ref, ref.copy(), 0.1, 0.5)
+    assert v["pass"] is True and all(v["gates"].values())
+
+    # one joint loses 1pt of PCK: mean delta 1/14 pt ~ 0.071 < 0.1 passes
+    # the mean gate but must fail the worst-joint gate
+    ours = ref.copy()
+    ours[3] -= 0.01
+    v = compute_verdict(ref, ours, ref, ref.copy(), 0.1, 0.5)
+    assert v["gates"]["mean_pck"] is True
+    assert v["gates"]["worst_joint_pck"] is False
+    assert v["pass"] is False
+    assert v["worst_joint_delta_pt"] == pytest.approx(1.0)
+
+    # PCKh-only regression (PCK identical) must also fail
+    v = compute_verdict(ref, ref.copy(), ref, ours, 0.1, 0.5)
+    assert v["gates"]["mean_pck"] is True
+    assert v["gates"]["worst_joint_pckh"] is False
+    assert v["pass"] is False
+
+    # mean-level regression past tolerance fails the mean gate
+    v = compute_verdict(ref, ref - 0.002, ref, ref.copy(), 0.1, 0.5)
+    assert v["gates"]["mean_pck"] is False
+    assert v["pass"] is False

@@ -121,7 +121,12 @@ def build_argparser():
     p.add_argument("--max_samples", default=256, type=int,
                    help="cap on evaluated samples/clips (0 = all)")
     p.add_argument("--tolerance_pt", default=0.1, type=float,
-                   help="pass threshold on |ΔPCK| in percentage points")
+                   help="pass threshold on the MEAN |ΔPCK| / |ΔPCKh| in "
+                        "percentage points")
+    p.add_argument("--joint_tolerance_pt", default=0.5, type=float,
+                   help="pass threshold on the WORST single-joint |Δ| "
+                        "(PCK and PCKh) — a regression localized to one "
+                        "joint moves the mean K× less than the joint")
     p.add_argument("--out", default=None, type=str,
                    help="write the JSON verdict here as well")
     return p
@@ -187,27 +192,69 @@ def _run_reference(args, x_nchw, centers_nchw, num_classes, workdir):
     return np.load(out_npz)["heat"], info
 
 
-def _per_joint_pck(heats, target_coords, hm, dataset, k):
-    """Visibility-gated running-mean per-joint PCK@0.2 over frames —
-    the reference accumulation (unipose.py:163-176).  ``heats`` is
+def _per_joint_metrics(heats, target_coords, hm, dataset, k):
+    """Visibility-gated running-mean per-joint PCK@0.2 AND PCKh@0.5 over
+    frames — the reference accumulation (unipose.py:163-176; the reference
+    prints PCKh tables too, utils/utils.py:354-473).  ``heats`` is
     (N, h, w, K+1) channel-last (get_max_preds wants NCHW)."""
     from unipose_tpu.eval.metrics import accuracy_from_coords, get_max_preds
 
     PCK = np.zeros(k + 1)
+    PCKh = np.zeros(k + 1)
     count = np.zeros(k + 1)
-    PCK0_n = 0
+    n0 = 0
     for i in range(heats.shape[0]):
         p, _ = get_max_preds(np.moveaxis(heats[i], -1, 0)[None])
-        acc, acc_pck, _, _, _, visible = accuracy_from_coords(
+        acc, acc_pck, acc_pckh, _, _, visible = accuracy_from_coords(
             p[0][None], target_coords[i][None], hm, hm, 0.2, 0.5, dataset
         )
-        PCK[0] = (PCK[0] * PCK0_n + acc_pck[0]) / (PCK0_n + 1)
-        PCK0_n += 1
+        PCK[0] = (PCK[0] * n0 + acc_pck[0]) / (n0 + 1)
+        PCKh[0] = (PCKh[0] * n0 + acc_pckh[0]) / (n0 + 1)
+        n0 += 1
         for j in range(1, k + 1):
             if visible[j] == 1:
                 PCK[j] = (PCK[j] * count[j] + acc_pck[j]) / (count[j] + 1)
+                PCKh[j] = (PCKh[j] * count[j] + acc_pckh[j]) / (count[j] + 1)
                 count[j] += 1
-    return PCK
+    return PCK, PCKh
+
+
+def compute_verdict(
+    pck_ref, pck_ours, pckh_ref, pckh_ours,
+    tolerance_pt: float, joint_tolerance_pt: float,
+):
+    """Pass/fail gates from per-joint metric arrays ((K+1,) incl. the
+    background slot 0).  STRICT on both axes (VERDICT r4 weak #1): the mean
+    gate alone lets a ~1pt single-joint regression hide inside a <0.1pt
+    mean delta, so the worst-joint deltas gate too, for PCK and PCKh both.
+    Returns the verdict dict minus run metadata."""
+    k = len(pck_ref) - 1
+    m = lambda a: float(a[1:].sum() / k * 100)  # noqa: E731
+    worst = lambda a, b: float(np.abs(np.asarray(a[1:]) - np.asarray(b[1:])).max() * 100)  # noqa: E731
+    delta_pt = m(pck_ours) - m(pck_ref)
+    delta_pckh_pt = m(pckh_ours) - m(pckh_ref)
+    worst_pt = worst(pck_ours, pck_ref)
+    worst_pckh_pt = worst(pckh_ours, pckh_ref)
+    gates = {
+        "mean_pck": abs(delta_pt) <= tolerance_pt,
+        "mean_pckh": abs(delta_pckh_pt) <= tolerance_pt,
+        "worst_joint_pck": worst_pt <= joint_tolerance_pt,
+        "worst_joint_pckh": worst_pckh_pt <= joint_tolerance_pt,
+    }
+    return {
+        "mPCK_ref": round(m(pck_ref), 3),
+        "mPCK_ours": round(m(pck_ours), 3),
+        "mPCKh_ref": round(m(pckh_ref), 3),
+        "mPCKh_ours": round(m(pckh_ours), 3),
+        "delta_pt": round(delta_pt, 3),
+        "delta_pckh_pt": round(delta_pckh_pt, 3),
+        "worst_joint_delta_pt": round(worst_pt, 3),
+        "worst_joint_delta_pckh_pt": round(worst_pckh_pt, 3),
+        "tolerance_pt": tolerance_pt,
+        "joint_tolerance_pt": joint_tolerance_pt,
+        "gates": {g: bool(v) for g, v in gates.items()},
+        "pass": bool(all(gates.values())),
+    }
 
 
 def main(argv=None):
@@ -325,38 +372,47 @@ def main(argv=None):
             for i in range(targets_f.shape[0])
         ]
     )
-    pck_ref = _per_joint_pck(ref_f, tgt_coords, hm, args.dataset, k)
-    pck_ours = _per_joint_pck(our_f, tgt_coords, hm, args.dataset, k)
+    pck_ref, pckh_ref = _per_joint_metrics(ref_f, tgt_coords, hm, args.dataset, k)
+    pck_ours, pckh_ours = _per_joint_metrics(our_f, tgt_coords, hm, args.dataset, k)
 
     scale = np.abs(ref_f).max() or 1.0
     heat_err = float(np.abs(our_f - ref_f).max() / scale)
 
     names = ("(background avg)",) + spec.joint_names
-    print(f"\n{'joint':<18} {'ref PCK':>8} {'ours':>8} {'Δ (pt)':>8}")
+    print(f"\n{'joint':<18} {'ref PCK':>8} {'ours':>8} {'Δ (pt)':>8} "
+          f"{'ref PCKh':>9} {'ours':>8} {'Δ (pt)':>8}")
     for j in range(k + 1):
         d = (pck_ours[j] - pck_ref[j]) * 100
+        dh = (pckh_ours[j] - pckh_ref[j]) * 100
         print(f"{names[j] if j < len(names) else j:<18} "
-              f"{pck_ref[j] * 100:8.2f} {pck_ours[j] * 100:8.2f} {d:8.3f}")
-    m_ref = pck_ref[1:].sum() / k * 100
-    m_ours = pck_ours[1:].sum() / k * 100
-    delta_pt = m_ours - m_ref
-    worst_pt = float(np.abs(pck_ours[1:] - pck_ref[1:]).max() * 100)
-    ok = abs(delta_pt) <= args.tolerance_pt
+              f"{pck_ref[j] * 100:8.2f} {pck_ours[j] * 100:8.2f} {d:8.3f} "
+              f"{pckh_ref[j] * 100:9.2f} {pckh_ours[j] * 100:8.2f} {dh:8.3f}")
     verdict = {
         "dataset": args.dataset,
         "n": int(n),
-        "mPCK_ref": round(m_ref, 3),
-        "mPCK_ours": round(m_ours, 3),
-        "delta_pt": round(delta_pt, 3),
-        "worst_joint_delta_pt": round(worst_pt, 3),
         "heatmap_maxnorm_rel_err": round(heat_err, 6),
-        "tolerance_pt": args.tolerance_pt,
-        "pass": bool(ok),
     }
-    print(
-        f"\nmPCK ref {m_ref:.2f}%  ours {m_ours:.2f}%  Δ {delta_pt:+.3f}pt "
-        f"(worst joint {worst_pt:.3f}pt, heatmap max-norm err {heat_err:.2e})"
+    verdict.update(
+        compute_verdict(
+            pck_ref, pck_ours, pckh_ref, pckh_ours,
+            args.tolerance_pt, args.joint_tolerance_pt,
+        )
     )
+    ok = verdict["pass"]
+    print(
+        f"\nmPCK ref {verdict['mPCK_ref']:.2f}%  ours "
+        f"{verdict['mPCK_ours']:.2f}%  Δ {verdict['delta_pt']:+.3f}pt "
+        f"(worst joint {verdict['worst_joint_delta_pt']:.3f}pt)"
+    )
+    print(
+        f"mPCKh ref {verdict['mPCKh_ref']:.2f}%  ours "
+        f"{verdict['mPCKh_ours']:.2f}%  Δ {verdict['delta_pckh_pt']:+.3f}pt "
+        f"(worst joint {verdict['worst_joint_delta_pckh_pt']:.3f}pt, "
+        f"heatmap max-norm err {heat_err:.2e})"
+    )
+    if not ok:
+        failed = [g for g, v in verdict["gates"].items() if not v]
+        print(f"failed gates: {', '.join(failed)}")
     print("PARITY PASS" if ok else "PARITY FAIL")
     line = json.dumps(verdict)
     print(line)
