@@ -130,15 +130,17 @@ def get_dataloader(
 
     ``use_native`` — route splits through the C++ decode core
     (data/native_loader.py): the no-augmentation eval splits (LSP val,
-    MPII val/test, BBC val/test) AND the train splits whose augmentation
-    is absent or a vectorizable flip (LSP train — flip applied across the
-    decoded batch; MPII train — TestResized only).  Batches are pinned
-    identical to the Python path by tests (flip parity at prob 0/1; seeded
-    runs draw flip coins from a different stream than the Python
-    ``random.random()``, so realizations differ at 0<p<1 —
-    native_lsp_train_loader docstring).  ``None`` = auto (on when the
-    native lib builds/loads); richer augmentations (NTID/PoseTrack/BBC
-    train) keep the Python transforms.
+    MPII val/test, BBC val/test, Penn val) AND the train splits whose
+    augmentation is absent or vectorizable (LSP — flip across the decoded
+    batch; MPII — TestResized only; Penn — TestResized float chain in the
+    core, window draw vectorized; BBC — crop + per-frame flip vectorized).
+    Batches are pinned identical to the Python path by tests (flip parity
+    at prob 0/1; Penn cubic-resized frames match to ~2e-5 — the wheel/
+    system OpenCV version split, native_loader docstrings; seeded runs
+    draw flip/window coins from a different stream than the Python
+    ``random.random()``, so realizations differ for stochastic
+    augmentation).  ``None`` = auto (on when the native lib builds/loads);
+    the richer NTID/PoseTrack augmentations keep the Python transforms.
 
     ``input_size`` — frame resolution (default 368, the reference's fixed
     value everywhere); honored by the Penn_Action branch so reduced-size
@@ -247,22 +249,36 @@ def get_dataloader(
             # multichip preset actually receives batch_size clips per step
             # (previously hardcoded to 1, silently starving batch>1 runs).
             clip_batch = batch_size if frame_memory else 1
-            train_loader = PrefetchLoader(
-                PennActionDataset(
-                    train_dir, sigma, T_mem, True,
-                    T.Compose([T.TestResized(input_size)]),
-                    input_size=input_size,
-                ),
-                clip_batch, shuffle=True, num_workers=workers, seed=seed,
+            ds = PennActionDataset(
+                train_dir, sigma, T_mem, True,
+                T.Compose([T.TestResized(input_size)]),
+                input_size=input_size,
             )
+            if native_ok:
+                # clip frames decode + TestResized in the C++ core; only
+                # the window-start draw stays host-side (vectorized)
+                from unipose_tpu.data.native_loader import (
+                    native_penn_train_loader,
+                )
+
+                train_loader = native_penn_train_loader(
+                    ds, clip_batch, seed=seed
+                )
+            else:
+                train_loader = PrefetchLoader(
+                    ds, clip_batch, shuffle=True, num_workers=workers,
+                    seed=seed,
+                )
         if val_dir:
-            val_loader = PrefetchLoader(
+            from unipose_tpu.data.native_loader import native_penn_val_loader
+
+            val_loader = eval_loader(
                 PennActionDataset(
                     val_dir, sigma, T_mem, False,
                     T.Compose([T.TestResized(input_size)]),
                     input_size=input_size,
                 ),
-                val_batch_size, shuffle=False, num_workers=workers, drop_last=False,
+                native_penn_val_loader,
             )
     elif dataset == "NTID":
         # Reference branch utils/utils.py:299-316 (its ntid_data module is
@@ -305,14 +321,29 @@ def get_dataloader(
     elif dataset == "BBC":
         T_mem = frame_memory or 5
         if train_dir:
-            train_loader = PrefetchLoader(
-                BBCDataset(
-                    train_dir, sigma, "Train",
-                    T.Compose([T.TestResized(368), T.RandomHorizontalFlip_BBC()]),
-                    seq_len=T_mem,
-                ),
-                batch_size, shuffle=True, num_workers=workers, seed=seed,
-            )
+            if native_ok:
+                # bottom-right crop + per-frame flip vectorize over the C++
+                # batch decode (native_bbc_train_loader; pinned
+                # byte-identical at flip prob 0/1)
+                from unipose_tpu.data.native_loader import (
+                    native_bbc_train_loader,
+                )
+
+                train_loader = native_bbc_train_loader(
+                    BBCDataset(train_dir, sigma, "Train", None, seq_len=T_mem),
+                    batch_size, seed=seed,
+                )
+            else:
+                train_loader = PrefetchLoader(
+                    BBCDataset(
+                        train_dir, sigma, "Train",
+                        T.Compose(
+                            [T.TestResized(368), T.RandomHorizontalFlip_BBC()]
+                        ),
+                        seq_len=T_mem,
+                    ),
+                    batch_size, shuffle=True, num_workers=workers, seed=seed,
+                )
         if val_dir:
             from unipose_tpu.data.native_loader import native_bbc_eval_loader
 

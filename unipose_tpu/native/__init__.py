@@ -61,6 +61,7 @@ def _load():
             ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int),
             ctypes.c_int,
+            ctypes.c_int,
         ]
         _lib = lib
         return _lib
@@ -79,6 +80,7 @@ def decode_batch(
     out: Optional[np.ndarray] = None,
     n_threads: int = 0,
     return_dims: bool = False,
+    test_resized: bool = False,
 ):
     """Decode ``paths`` into (N, size, size, 3) f32 BGR (0..255).
 
@@ -88,6 +90,11 @@ def decode_batch(
     out: optional preallocated output (reused across batches).
     return_dims: also return the original (rows, cols) per image as
       (N, 2) int32 — what keypoint rescaling needs (0 on failure).
+    test_resized: resize via the Python TestResized float chain instead of
+      the u8 linear resize — float32 convert, INTER_CUBIC to the
+      reference's h/w-derived truncating dsize, INTER_LINEAR fixup to
+      (size, size) when the truncation fired (decode.cpp Job doc; the
+      Penn Action per-frame semantics).
     Returns (batch, statuses[, dims]) where statuses[i] != 0 marks an
     unreadable file (its slot is zero-filled — callers may apply
     previous-frame fallback).
@@ -118,6 +125,7 @@ def decode_batch(
         statuses.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)) if dims is not None else None,
         n_threads,
+        1 if test_resized else 0,
     )
     if return_dims:
         return out, statuses, dims

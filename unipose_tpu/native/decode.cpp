@@ -28,6 +28,16 @@ struct Job {
   int crop_x0, crop_y0, crop_w, crop_h;
   // bottom_right_368: emulate BBC's img[-368:, -368:] crop when >0
   int bottom_right;
+  // 0: u8 linear resize to (size, size) (the LSP/MPII dataset semantics,
+  //    lsp_lspet_data.py:211 cv2.resize default).
+  // 1: the Python TestResized float chain (Mytransforms.py:148-184 as
+  //    reproduced by data/transforms.py::resize + the Penn loader's
+  //    post-transform fixup): float32 convert FIRST, then INTER_CUBIC to
+  //    dsize=(int(rows*(size/rows)), int(cols*(size/cols))) — the
+  //    reference's h/w-derived dsize with Python's int() truncation, which
+  //    genuinely lands on size-1 for some dims (e.g. rows=86 -> 367) —
+  //    then an INTER_LINEAR fixup to (size, size) when the quirk fired.
+  int mode;
   int status;  // 0 ok, 1 read failure (buffer zero-filled)
   int rows, cols;  // original (pre-crop/resize) image dims; 0 on failure
 };
@@ -51,14 +61,44 @@ void run_job(Job& j) {
     r &= cv::Rect(0, 0, img.cols, img.rows);
     img = img(r);
   }
-  cv::Mat resized;
-  if (img.rows == j.size && img.cols == j.size) {
-    resized = img;  // already target-sized (e.g. the BBC 368 crop): bit-exact
-  } else {
-    cv::resize(img, resized, cv::Size(j.size, j.size));
-  }
   cv::Mat out(j.size, j.size, CV_32FC3, j.out);
-  resized.convertTo(out, CV_32FC3);
+  if (j.mode == 1) {
+    // Python float-TestResized chain; double math matches CPython's IEEE
+    // arithmetic so the int() truncation fires for exactly the same dims.
+    cv::Mat f;
+    img.convertTo(f, CV_32FC3);
+    // ratios from PRE-pad dims (TestResized reads img.shape before calling
+    // resize(), whose <64px pad then widens the image the dsize is
+    // computed from — Mytransforms.py:148-184 order, quirk kept)
+    double r0 = static_cast<double>(j.size) / f.rows;
+    double r1 = static_cast<double>(j.size) / f.cols;
+    if (f.cols < 64) {
+      cv::copyMakeBorder(f, f, 0, 0, 0, 64 - f.cols, cv::BORDER_CONSTANT,
+                         cv::Scalar(128, 128, 128));
+    }
+    int dw = static_cast<int>(f.rows * r0);  // cv2 dsize WIDTH from rows —
+    int dh = static_cast<int>(f.cols * r1);  // the reference's swap quirk
+    cv::Mat tmp;
+    if (f.rows == j.size && f.cols == j.size && dw == j.size &&
+        dh == j.size) {
+      tmp = f;  // same-size cubic resize is identity (pinned by tests)
+    } else {
+      cv::resize(f, tmp, cv::Size(dw, dh), 0, 0, cv::INTER_CUBIC);
+    }
+    if (tmp.rows != j.size || tmp.cols != j.size) {
+      cv::resize(tmp, out, cv::Size(j.size, j.size), 0, 0, cv::INTER_LINEAR);
+    } else {
+      tmp.copyTo(out);
+    }
+  } else {
+    cv::Mat resized;
+    if (img.rows == j.size && img.cols == j.size) {
+      resized = img;  // already target-sized (e.g. BBC 368 crop): bit-exact
+    } else {
+      cv::resize(img, resized, cv::Size(j.size, j.size));
+    }
+    resized.convertTo(out, CV_32FC3);
+  }
   j.status = 0;
 }
 
@@ -73,10 +113,11 @@ extern "C" {
 // dims: nullptr or n*2 ints filled with the original (rows, cols) —
 //   callers rescale keypoints from original-image coordinates without a
 //   second header read.
+// mode: 0 = u8 linear resize; 1 = Python TestResized float chain (Job doc).
 // Returns number of failures.
 int unipose_decode_batch(const char** paths, int n, int size, float* out,
                          const int* crops, int bottom_right, int* statuses,
-                         int* dims, int n_threads) {
+                         int* dims, int n_threads, int mode) {
   std::vector<Job> jobs(n);
   for (int i = 0; i < n; ++i) {
     Job& j = jobs[i];
@@ -93,6 +134,7 @@ int unipose_decode_batch(const char** paths, int n, int size, float* out,
       j.crop_y0 = j.crop_w = j.crop_h = 0;
     }
     j.bottom_right = bottom_right;
+    j.mode = mode;
     j.status = 0;
   }
 
