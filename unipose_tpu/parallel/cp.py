@@ -67,6 +67,8 @@ def shard_clip_batch(batch, mesh: Mesh):
     leaves (``CLIP_LEAVES`` — (B, T, ...) tensors) shard (B, T) over
     (data, time); every other array leaf is per-clip and shards its leading
     dim over ``data`` only.  Non-array leaves pass through."""
+    from unipose_tpu.parallel.mesh import put_sharded
+
     sharding = clip_sharding(mesh)
     data_only = NamedSharding(mesh, P("data"))
 
@@ -74,9 +76,9 @@ def shard_clip_batch(batch, mesh: Mesh):
         if isinstance(x, (np.ndarray, jax.Array)):
             name = path[-1].key if path and hasattr(path[-1], "key") else None
             if name in CLIP_LEAVES and x.ndim >= 2:
-                return jax.device_put(x, sharding)
+                return put_sharded(x, sharding)
             if x.ndim >= 1:
-                return jax.device_put(x, data_only)
+                return put_sharded(x, data_only)
         return x
 
     return jax.tree_util.tree_map_with_path(

@@ -132,19 +132,46 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 
 def replicate(tree, mesh: Mesh):
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh.  Multi-host:
+    every process must hold the same host values (deterministic same-seed
+    init or a restored checkpoint — both true in the Trainer); each process
+    then contributes its identical copy (put_sharded P() semantics: local
+    data == global data)."""
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: put_sharded(x, sharding)
+        if isinstance(x, (np.ndarray, jax.Array))
+        or np.isscalar(x)
+        or hasattr(x, "shape")
+        else x,
+        tree,
+    )
+
+
+def put_sharded(x, sharding: NamedSharding):
+    """Host array -> device array under ``sharding``, multi-host aware.
+
+    Single process: plain ``device_put``.  Multi-host (jax.distributed
+    initialized across OS processes): each process's loader yields only its
+    LOCAL portion of the global batch, so the local array is stitched into
+    a global jax.Array via ``make_array_from_process_local_data`` — the
+    global shape is the per-process shape scaled along the sharded dims.
+    (A bare device_put would treat every process's local array as the full
+    global value — silently training on process-0-shaped data.)"""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Put a host batch onto the mesh, sharded along the leading dim.
-    Non-array leaves (paths etc.) pass through untouched."""
+    Non-array leaves (paths etc.) pass through untouched.  Multi-host:
+    ``batch`` is this process's local shard (put_sharded)."""
     sharding = batch_sharding(mesh, axis)
 
     def put(x):
         if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) >= 1:
-            return jax.device_put(x, sharding)
+            return put_sharded(x, sharding)
         return x
 
     return jax.tree_util.tree_map(
