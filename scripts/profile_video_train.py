@@ -233,7 +233,10 @@ def main():
     xt = x.reshape(b * t, size, size, 3)
     tw_vars = zeros_variables(tower, xt[:1])
     results["tower_vag_ms"] = timed_vag(
-        lambda v, xx: tower.apply(v, xx, train=True, mutable=["batch_stats"]),
+        lambda v, xx: tower.apply(
+            v, xx, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        ),
         tw_vars, (xt,), args.iters,
     ) * 1e3
     print(f"tower {results['tower_vag_ms']:.1f} ms", flush=True)
