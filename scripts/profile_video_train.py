@@ -122,6 +122,18 @@ def zeros_vars_nokw(model, *sample_args):
     return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
+def _consume_grads(val, g):
+    """Fold every grad leaf into the chained scalar so XLA cannot
+    dead-code-eliminate the weight-grad matmuls (profile_train.py does the
+    same via a gnorm sum; consuming a single leaf lets XLA prune all other
+    dW computations and understates the backward by tens of ms)."""
+    gnorm = sum(
+        jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+        for leaf in jax.tree_util.tree_leaves(g)
+    )
+    return val + gnorm * 0.0
+
+
 def timed_vag(model_apply, variables, x_args, iters):
     """fwd+bwd of mean(out^2), chained; perturbs the first input."""
 
@@ -136,8 +148,7 @@ def timed_vag(model_apply, variables, x_args, iters):
     def step(carry):
         a0 = x_args[0] + carry * 0.0
         val, g = grad_fn(variables["params"], a0, *x_args[1:])
-        leaf = jax.tree_util.tree_leaves(g)[0]
-        return val + leaf.reshape(-1)[0] * 0.0
+        return _consume_grads(val, g)
 
     return chained_timer(step, iters)
 
@@ -222,7 +233,7 @@ def main():
 
     def vag_step(carry):
         val, g = vag_grad(variables["params"], x + carry * 0.0)
-        return val + jax.tree_util.tree_leaves(g)[0].reshape(-1)[0] * 0.0
+        return _consume_grads(val, g)
 
     results["vag_ms"] = chained_timer(vag_step, args.iters) * 1e3
     print(f"fwd {results['fwd_train_ms']:.1f} ms / vag "
