@@ -96,6 +96,14 @@ def main(argv=None):
     p.add_argument("--lr", default=1e-4, type=float,
                    help="keep at 1e-4 scale: the video head's output ReLU "
                         "kills channels at larger lrs")
+    p.add_argument("--pretrained", default=None, type=str,
+                   help="torch .pth.tar image checkpoint to warm-start the "
+                        "tower from — the reference's own video recipe "
+                        "(uniposeLSTM.py:274-281 defaults to UniPose_LSP.tar "
+                        "and key-intersection-loads it).  MANDATORY at "
+                        "368²/σ1: a cold start kills the whole ReLU head in "
+                        "the first epoch even at lr 1e-4 (measured — "
+                        "docs/BENCHMARKS.md round-5 video e2e)")
     p.add_argument("--size", default=368, type=int,
                    help="368 = the production resolution; smaller values "
                         "override the spec for CPU smoke runs")
@@ -132,7 +140,7 @@ def main(argv=None):
     from unipose_tpu.core.config import DATASETS
     from unipose_tpu.train.trainer import Trainer
 
-    cli_args = cli_train.build_argparser().parse_args([
+    cli_argv = [
         "--dataset", "Penn_Action",
         "--model_arch", "uniposeLSTM",
         "--train_dir", root,
@@ -143,7 +151,10 @@ def main(argv=None):
         "--epochs", str(args.epochs),
         "--bf16",
         "--model_name", os.path.join(args.workdir, "uniposeLSTM_e2e"),
-    ])
+    ]
+    if args.pretrained:
+        cli_argv += ["--pretrained", args.pretrained]
+    cli_args = cli_train.build_argparser().parse_args(cli_argv)
     model_config, train_config = cli_train.configs_from_args(cli_args)
     spec = None
     if args.size != 368:
@@ -155,6 +166,7 @@ def main(argv=None):
         train_config,
         train_dir=cli_args.train_dir,
         val_dir=cli_args.val_dir,
+        pretrained=cli_args.pretrained,
         spec=spec,
     )
     print(

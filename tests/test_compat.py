@@ -1,5 +1,7 @@
 """Converter tests: torch state_dict layout -> flax variables."""
 
+import os
+
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -193,6 +195,40 @@ def test_load_torch_checkpoint_file(tmp_path, rng):
         loaded["backbone.conv1.weight"],
         state["module.backbone.conv1.weight"].numpy(),
     )
+
+
+def test_load_torch_checkpoint_subprocess_isolated(tmp_path, rng):
+    """The torch read must work from a process that has NOT imported torch
+    (``cli.train --pretrained`` on a TPU host: importing torch after the
+    axon client is live deadlocks, so the read subprocess-isolates).  This
+    test pins the child-process path by invoking it from a fresh
+    interpreter that asserts torch stays unimported in the parent."""
+    import subprocess
+    import sys
+
+    state = {"module.decoder.last_conv.bias": torch.from_numpy(
+        rng.randn(15).astype(np.float32)
+    )}
+    path = str(tmp_path / "ckpt_best.pth.tar")
+    torch.save({"state_dict": state}, path)
+
+    child = f"""
+import sys
+assert "torch" not in sys.modules
+from unipose_tpu.compat.torch_convert import load_torch_checkpoint
+d = load_torch_checkpoint({path!r})
+assert "torch" not in sys.modules, "parent process imported torch"
+assert list(d) == ["decoder.last_conv.bias"], list(d)
+assert d["decoder.last_conv.bias"].shape == (15,)
+print("ok")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", child],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr
+    assert "ok" in out.stdout
 
 
 def _tree_equal(a, b, path=""):

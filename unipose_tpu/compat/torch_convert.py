@@ -42,23 +42,64 @@ def to_nchw(x: np.ndarray) -> np.ndarray:
     return np.moveaxis(np.asarray(x), -1, -3)
 
 
+_TORCH_READ_CHILD = """
+import sys
+import numpy as np
+import torch
+
+blob = torch.load(sys.argv[1], map_location="cpu", weights_only=False)
+state = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+out = {}
+for k, v in state.items():
+    if k.startswith("module."):
+        k = k[len("module."):]
+    out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+np.savez(sys.argv[2], **out)
+"""
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a ``*.pth.tar`` checkpoint to a flat {key: np.ndarray} dict.
 
     Accepts either a raw state_dict or the reference's
     ``{'state_dict': ...}`` wrapper (utils/utils.py:53-56); strips any
     ``module.`` DataParallel prefix.
-    """
-    import torch
 
-    blob = torch.load(path, map_location="cpu", weights_only=False)
-    state = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
-    out = {}
-    for k, v in state.items():
-        if k.startswith("module."):
-            k = k[len("module.") :]
-        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
-    return out
+    The torch read runs in a SUBPROCESS unless torch is already imported:
+    importing torch into a process whose axon TPU client is live deadlocks
+    (CLAUDE.md environment quirks), and the warm-start path
+    (``cli.train --pretrained`` on a TPU host) hits exactly that order —
+    jax initializes during model init, the checkpoint loads after.  The
+    child imports only torch+numpy (never jax) and hands the tensors back
+    through an ``.npz``.
+    """
+    import sys
+
+    if "torch" in sys.modules:  # already coexisting (CPU tests) — cheap path
+        import torch
+
+        blob = torch.load(path, map_location="cpu", weights_only=False)
+        state = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+        out = {}
+        for k, v in state.items():
+            if k.startswith("module."):
+                k = k[len("module.") :]
+            out[k] = (
+                v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+            )
+        return out
+
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        npz = f"{td}/state.npz"
+        subprocess.run(
+            [sys.executable, "-c", _TORCH_READ_CHILD, path, npz],
+            check=True,
+        )
+        with np.load(npz, allow_pickle=False) as z:
+            return {k: z[k] for k in z.files}
 
 
 def _assign(tree: Dict[str, Any], path: Tuple[str, ...], value: np.ndarray) -> bool:
