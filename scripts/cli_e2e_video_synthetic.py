@@ -104,6 +104,29 @@ def main(argv=None):
                         "368²/σ1: a cold start kills the whole ReLU head in "
                         "the first epoch even at lr 1e-4 (measured — "
                         "docs/BENCHMARKS.md round-5 video e2e)")
+    p.add_argument("--sigma", default=None, type=float,
+                   help="target Gaussian sigma override.  The Penn spec "
+                        "default (the reference's video sigma=1, "
+                        "uniposeLSTM.py:55) gives each joint ~0.5%% nonzero "
+                        "pixels on the 46x46 stride-8 heatmap — measured to "
+                        "kill the whole ReLU head within epoch 0 at 368², "
+                        "warm or cold, even at lr 1e-4 (the reference's "
+                        "as-shipped Penn loader cannot run at all, so its "
+                        "sigma=1 recipe is untested upstream; the stride-8 "
+                        "repair is ours and sigma=3 matches the image "
+                        "pipeline's proven support fraction)")
+    p.add_argument("--warmup-steps", default=0, type=int,
+                   help="linear LR warmup (cli.train --warmup_steps).  "
+                        "Measured NOT to rescue the 368² head-channel "
+                        "death (loss pinned at the all-zero value through "
+                        "the ramp); sigma is the knob that works")
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--freeze-bn", action="store_true",
+                   help="cli.train --freeze_bn: fine-tune with BN frozen to "
+                        "the warm-start checkpoint's running stats")
+    p.add_argument("--head-positive-bias", action="store_true",
+                   help="cli.train --head_positive_bias (dead-channel-trap "
+                        "mitigation)")
     p.add_argument("--size", default=368, type=int,
                    help="368 = the production resolution; smaller values "
                         "override the spec for CPU smoke runs")
@@ -154,6 +177,16 @@ def main(argv=None):
     ]
     if args.pretrained:
         cli_argv += ["--pretrained", args.pretrained]
+    if args.sigma is not None:
+        cli_argv += ["--sigma", str(args.sigma)]
+    if args.warmup_steps:
+        cli_argv += ["--warmup_steps", str(args.warmup_steps)]
+    if args.seed:
+        cli_argv += ["--seed", str(args.seed)]
+    if args.freeze_bn:
+        cli_argv += ["--freeze_bn"]
+    if args.head_positive_bias:
+        cli_argv += ["--head_positive_bias"]
     cli_args = cli_train.build_argparser().parse_args(cli_argv)
     model_config, train_config = cli_train.configs_from_args(cli_args)
     spec = None

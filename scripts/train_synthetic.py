@@ -34,7 +34,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 def build_argparser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--variant", default="image", choices=["image", "lstm"])
-    p.add_argument("--dataset", default="LSP", choices=["LSP", "MPII", "BBC"],
+    p.add_argument("--dataset", default="LSP",
+                   choices=["LSP", "MPII", "BBC", "Penn_Action"],
                    help="skeleton / joint order / metric family "
                         "(data/synthetic.py SKELETONS)")
     p.add_argument("--target-metric", default="pck", choices=["pck", "pckh"],
@@ -59,6 +60,9 @@ def build_argparser():
                         "heatmaps at reduced input sizes are relatively "
                         "coarser, so a sharper sigma can be appropriate)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--head-positive-bias", action="store_true",
+                   help="lstm: ModelConfig.head_positive_bias (dead-channel-"
+                        "trap mitigation, docs/BENCHMARKS.md round-5)")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--int8-study", action="store_true",
                    help="after training, evaluate the w8a8 int8 front end's "
@@ -217,6 +221,7 @@ def main(argv=None):
         num_classes=spec.num_joints,
         variant="lstm" if video else "image",
         frame_memory=args.frame_memory,
+        head_positive_bias=args.head_positive_bias,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     mesh_shape, mesh_axes = (-1,), ("data",)

@@ -103,3 +103,27 @@ def test_batchnorm_train_matches_torch(rng):
         rtol=1e-4,
         atol=1e-5,
     )
+
+
+def test_head_positive_bias_init():
+    """``Conv.bias_positive`` (via LSTMHead.positive_bias): biases init at
+    the constant +1/sqrt(fan_in) — the dead-ReLU-avoidance opt-in for the
+    video head (docs/BENCHMARKS.md round-5 dead-channel study).  Weights
+    must be untouched, and the default must stay the torch U(+-bound)."""
+    from unipose_tpu.models.unipose_lstm import LSTMHead
+
+    x = jnp.zeros((1, 8, 8, 15), jnp.float32)
+    v_def = LSTMHead(14).init(jax.random.PRNGKey(0), x)
+    v_pos = LSTMHead(14, positive_bias=True).init(jax.random.PRNGKey(0), x)
+
+    b5 = np.asarray(v_pos["params"]["conv5"]["bias"])
+    np.testing.assert_allclose(b5, 128 ** -0.5)  # fan_in = 128*1*1
+    b1 = np.asarray(v_pos["params"]["conv1"]["bias"])
+    np.testing.assert_allclose(b1, (15 * 11 * 11) ** -0.5)
+    for name in ("conv1", "conv2", "conv3", "conv4", "conv5"):
+        np.testing.assert_array_equal(
+            np.asarray(v_def["params"][name]["weight"]),
+            np.asarray(v_pos["params"][name]["weight"]),
+        )
+    bd = np.asarray(v_def["params"]["conv5"]["bias"])
+    assert (bd < 0).any() and (bd > 0).any()  # default still U(+-bound)

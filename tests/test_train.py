@@ -54,6 +54,24 @@ def test_schedule_matches_reference_policy():
     assert float(sched(2 * 13275)) == pytest.approx(1e-4 * 0.333**2, rel=1e-5)
 
 
+def test_schedule_warmup():
+    """``warmup_steps`` ramps 0 -> base_lr linearly, then hands off to the
+    reference staircase (which starts counting at the end of the ramp).
+    Default 0 must reproduce the reference schedule bit-for-bit."""
+    base, gamma, step_size, w = 1e-4, 0.333, 100, 20
+    sched = step_decay_schedule(base, gamma, step_size, warmup_steps=w)
+    assert float(sched(0)) == pytest.approx(0.0)
+    assert float(sched(w // 2)) == pytest.approx(base / 2)
+    assert float(sched(w)) == pytest.approx(base)
+    assert float(sched(w + step_size - 1)) == pytest.approx(base)
+    assert float(sched(w + step_size)) == pytest.approx(base * gamma)
+    # off = reference policy exactly
+    ref = step_decay_schedule(base, gamma, step_size)
+    off = step_decay_schedule(base, gamma, step_size, warmup_steps=0)
+    for s in (0, 1, step_size, 2 * step_size):
+        assert float(off(s)) == float(ref(s))
+
+
 def test_val_fast_path_matches_oracle(rng):
     """The TPU-first validation pipeline (device argmax -> coords ->
     accuracy_from_coords, per frame) must reproduce the reference-semantics

@@ -37,7 +37,17 @@ def build_argparser() -> argparse.ArgumentParser:
                         "3.0 image / 1.0 video)")
     p.add_argument("--stride", default=None, type=int,
                    help="heatmap stride override (default: dataset spec's 8)")
+    p.add_argument("--warmup_steps", default=0, type=int,
+                   help="linear LR warmup steps (0 = off, the reference "
+                        "schedule; measured to NOT rescue — and can worsen "
+                        "— the video head's dead-channel trap, see "
+                        "TrainConfig.warmup_steps / docs/BENCHMARKS.md)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--head_positive_bias", action="store_true",
+                   help="video: init the 11x11 head's biases at the positive "
+                        "torch bound so every output-ReLU channel starts "
+                        "alive (dead-channel-trap mitigation, "
+                        "ModelConfig.head_positive_bias)")
     p.add_argument("--freeze_bn", action="store_true",
                    help="fine-tune with BatchNorm frozen to running stats "
                         "(the reference flag, made functional)")
@@ -102,6 +112,7 @@ def configs_from_args(args) -> tuple:
         variant="lstm" if video else "image",
         frame_memory=args.frame_memory,
         freeze_bn=getattr(args, "freeze_bn", False),
+        head_positive_bias=getattr(args, "head_positive_bias", False),
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     # reference defaults: batch 8 image (unipose.py:49), clip-batch 1 video
@@ -116,6 +127,7 @@ def configs_from_args(args) -> tuple:
         epochs=args.epochs,
         seed=args.seed,
         model_name=args.model_name,
+        warmup_steps=getattr(args, "warmup_steps", 0),
     )
     return model_config, train_config
 

@@ -167,6 +167,12 @@ class ModelConfig:
     # model/unipose.py:24-25,:40-45; here it works, and saves the BN-train
     # stat/backward traffic: ~12 ms/step at batch 32 on v5e, BENCHMARKS.md).
     freeze_bn: bool = False
+    # Video variant: initialize the 11x11 head's conv biases at the
+    # POSITIVE torch bound (+1/sqrt(fan_in)) instead of U(+-bound), so
+    # every output-ReLU channel starts alive.  Opt-in mitigation for the
+    # dead-channel trap measured at 368² from-scratch/warm-start video
+    # training (Conv.bias_positive / docs/BENCHMARKS.md round-5).
+    head_positive_bias: bool = False
     # dtype policy: params always f32; compute optionally bf16; BN stats f32.
     compute_dtype: jnp.dtype = jnp.float32
     # Replicate the reference's double application of wasp.conv2
@@ -222,6 +228,14 @@ class TrainConfig:
     sigma: Optional[float] = None
     stride: Optional[int] = None
     seed: int = 0
+    # Linear LR warmup over the first N steps (0 = off, the reference
+    # semantics).  NOTE: measured NOT to rescue the video head's
+    # output-ReLU dead-channel trap — a slow ramp lets the uniform
+    # background down-push floor the head before the target pull can dig
+    # channels out (docs/BENCHMARKS.md round-5 learning validation; target
+    # sigma is the knob that works there).  Kept as a standard opt-in
+    # schedule feature.
+    warmup_steps: int = 0
     # TPU-native additions (no reference equivalent):
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("data",)

@@ -148,6 +148,17 @@ class Conv(nn.Module):
     # and stay dead (zero gradient) — measured as joints pinned at exactly
     # 0% PCK (docs/BENCHMARKS.md learning validation).
     torch_default_init: bool = False
+    # With torch_default_init: initialize the bias at the POSITIVE bound
+    # (+1/sqrt(fan_in)) instead of U(+-bound).  Dead-ReLU-avoidance init
+    # for output heads whose final activation is a ReLU over mostly-zero
+    # regression targets: a channel whose pre-activation goes negative
+    # everywhere receives zero gradient forever, and at 368² video training
+    # 1-4 of 14 joint channels die within the first epoch across the whole
+    # (lr, sigma, warmup, freeze_bn) recipe grid (docs/BENCHMARKS.md
+    # round-5 learning validation).  Starting every channel alive removes
+    # the init-time corner of that absorbing state.  Opt-in; changes init
+    # only, not the fitted semantics.
+    bias_positive: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -194,10 +205,17 @@ class Conv(nn.Module):
                 fan_in = float(in_ch * k[0] * k[1])
                 bound = fan_in**-0.5
 
-                def bias_init(key, shape, dtype=jnp.float32):
-                    return jax.random.uniform(
-                        key, shape, dtype, minval=-bound, maxval=bound
-                    )
+                if self.bias_positive:
+
+                    def bias_init(key, shape, dtype=jnp.float32):
+                        return jnp.full(shape, bound, dtype)
+
+                else:
+
+                    def bias_init(key, shape, dtype=jnp.float32):
+                        return jax.random.uniform(
+                            key, shape, dtype, minval=-bound, maxval=bound
+                        )
 
             else:
                 bias_init = nn.initializers.zeros

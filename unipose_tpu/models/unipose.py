@@ -117,6 +117,7 @@ def build_model(config: ModelConfig, bn_groups: int = 1) -> nn.Module:
             remat_scan=config.remat_scan,
             remat_tower=config.remat_tower,
             freeze_bn=config.freeze_bn,
+            head_positive_bias=config.head_positive_bias,
             bn_groups=bn_groups,
             spmd_axes=config.spmd_axes,
             dtype=None if config.compute_dtype == jnp.float32 else config.compute_dtype,

@@ -102,12 +102,16 @@ class LSTMHead(nn.Module):
 
     out_channels: int
     width: int = 128
+    # Dead-ReLU-avoidance bias init (Conv.bias_positive rationale); opt-in
+    # via ModelConfig.head_positive_bias.
+    positive_bias: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         conv = lambda feats, k, name: Conv(  # noqa: E731
-            feats, k, padding=k // 2, use_bias=True, torch_default_init=True, dtype=self.dtype, name=name
+            feats, k, padding=k // 2, use_bias=True, torch_default_init=True,
+            bias_positive=self.positive_bias, dtype=self.dtype, name=name,
         )
         x = nn.relu(conv(self.width, 11, "conv1")(x))
         x = nn.relu(conv(self.width, 11, "conv2")(x))
@@ -135,6 +139,8 @@ class UniPoseLSTM(nn.Module):
     # torch model.freeze_bn() semantics (Reference: model/uniposeLSTM.py:94-95,
     # 150-154, broken upstream): BN uses running stats during training.
     freeze_bn: bool = False
+    # Dead-ReLU-avoidance init for the 11x11 head (Conv.bias_positive).
+    head_positive_bias: bool = False
     # Per-group (ghost) BN statistics (TorchBatchNorm.stat_groups): the
     # trainer derives this from the mesh when ModelConfig.sync_bn=False so
     # BN stats stay local to each data-parallel shard.
@@ -282,7 +288,12 @@ class UniPoseLSTM(nn.Module):
             # Re-shard the hidden states frame-major so the 11x11 head (the
             # second-biggest FLOPs block) also partitions over data x time.
             hides_bt = jax.lax.with_sharding_constraint(hides_bt, frame_spec)
-        heat = LSTMHead(self.num_classes + 1, dtype=self.dtype, name="head")(hides_bt)
+        heat = LSTMHead(
+            self.num_classes + 1,
+            positive_bias=self.head_positive_bias,
+            dtype=self.dtype,
+            name="head",
+        )(hides_bt)
         heat = heat.reshape(b, t, h8, w8, self.num_classes + 1)
 
         self.sow("intermediates", "final_state", (cell_t, hide_t))

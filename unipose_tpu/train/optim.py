@@ -16,17 +16,29 @@ import optax
 from unipose_tpu.core.config import TrainConfig
 
 
-def step_decay_schedule(base_lr: float, gamma: float, step_size: int):
-    return optax.exponential_decay(
+def step_decay_schedule(
+    base_lr: float, gamma: float, step_size: int, warmup_steps: int = 0
+):
+    decay = optax.exponential_decay(
         init_value=base_lr,
         transition_steps=step_size,
         decay_rate=gamma,
         staircase=True,
     )
+    if warmup_steps <= 0:
+        return decay
+    # Linear 0 -> base_lr ramp ahead of the staircase (TrainConfig.warmup_steps
+    # rationale: the video head's output-ReLU dead-channel trap).
+    warmup = optax.linear_schedule(
+        init_value=0.0, end_value=base_lr, transition_steps=warmup_steps
+    )
+    return optax.join_schedules([warmup, decay], boundaries=[warmup_steps])
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
-    schedule = step_decay_schedule(config.lr, config.gamma, config.step_size)
+    schedule = step_decay_schedule(
+        config.lr, config.gamma, config.step_size, config.warmup_steps
+    )
     return optax.adam(schedule)
 
 
