@@ -79,3 +79,26 @@ def test_native_image_loader(images, rng):
     assert batches[1]["image"].shape == (2, 64, 64, 3)
     np.testing.assert_array_equal(batches[0]["kpts"], kpts[:4])
     assert batches[0]["path"] == images[:4]
+
+
+def test_decode_batch_mem_matches_cv2(rng):
+    """From-memory batch decode (the serving path: HTTP bodies hold JPEG
+    bytes) must be bit-identical to the cv2 imdecode+resize chain the
+    server falls back to, return original dims for keypoint rescale, and
+    flag undecodable buffers without failing the batch."""
+    imgs = [
+        rng.randint(0, 255, (240 + 7 * i, 320 + 5 * i, 3)).astype(np.uint8)
+        for i in range(5)
+    ]
+    bufs = [cv2.imencode(".jpg", im)[1].tobytes() for im in imgs]
+    out, statuses, dims = native.decode_batch_mem(bufs, 184, return_dims=True)
+    assert statuses.sum() == 0
+    for i, b in enumerate(bufs):
+        im = cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_COLOR)
+        ref = cv2.resize(im, (184, 184)).astype(np.float32)
+        np.testing.assert_array_equal(out[i], ref)
+        assert tuple(dims[i]) == im.shape[:2]
+
+    out2, st2 = native.decode_batch_mem([b"not an image", bufs[0]], 64)
+    assert st2[0] == 1 and st2[1] == 0
+    assert out2[0].max() == 0.0 and out2[1].max() > 0.0

@@ -169,6 +169,17 @@ def _decode_image(buf: bytes):
     return img
 
 
+def _native_mem_decode() -> bool:
+    """True when the C++ decode core is loadable (graceful fallback to the
+    cv2 path otherwise — same contract as the dataset loaders)."""
+    try:
+        from unipose_tpu import native
+
+        return native.available()
+    except Exception:
+        return False
+
+
 def make_server(args):
     """Build the HTTPServer (separated from main for tests)."""
     import http.server
@@ -260,9 +271,26 @@ def make_server(args):
             frames_b64 = req.get("frames")
             if not isinstance(frames_b64, list) or not frames_b64:
                 raise ValueError('body must be {"frames": ["<b64 jpeg>", ...]}')
-            imgs = [_decode_image(base64.b64decode(fb)) for fb in frames_b64]
-            dims = [(im.shape[1], im.shape[0]) for im in imgs]  # (w0, h0)
+            bufs = [base64.b64decode(fb) for fb in frames_b64]
             dt = np.uint8 if raw_u8 else np.float32
+            if _native_mem_decode():
+                # C++ thread-pool batch decode (bit-identical to the cv2
+                # path below, tests/test_native.py) — the video server is
+                # host-decode-bound (BENCHMARKS round-5 load study), and T
+                # frames per request is exactly the batch shape the core
+                # fans out.
+                from unipose_tpu import native
+
+                out, statuses, nd = native.decode_batch_mem(
+                    bufs, size, return_dims=True
+                )
+                bad = np.nonzero(statuses)[0]
+                if bad.size:
+                    raise ValueError(f"frame {int(bad[0])} is not a decodable image")
+                dims = [(int(c), int(r)) for r, c in nd]  # (w0, h0)
+                return out.astype(dt), dims
+            imgs = [_decode_image(b) for b in bufs]
+            dims = [(im.shape[1], im.shape[0]) for im in imgs]  # (w0, h0)
             frames = np.stack(
                 [cv2.resize(im, (size, size)).astype(dt) for im in imgs]
             )

@@ -63,6 +63,20 @@ def _load():
             ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.unipose_decode_batch_mem.restype = ctypes.c_int
+        lib.unipose_decode_batch_mem.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),  # byte buffers
+            ctypes.POINTER(ctypes.c_int),     # lengths
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -122,6 +136,50 @@ def decode_batch(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         crops_ptr,
         bottom_right,
+        statuses.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)) if dims is not None else None,
+        n_threads,
+        1 if test_resized else 0,
+    )
+    if return_dims:
+        return out, statuses, dims
+    return out, statuses
+
+
+def decode_batch_mem(
+    bufs: Sequence[bytes],
+    size: int = 368,
+    *,
+    out: Optional[np.ndarray] = None,
+    n_threads: int = 0,
+    return_dims: bool = False,
+    test_resized: bool = False,
+):
+    """``decode_batch`` for in-memory encoded images (the serving path:
+    HTTP bodies carry JPEG bytes, there are no files).  Same output
+    contract; statuses[i] != 0 marks an undecodable buffer."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder unavailable (OpenCV dev libs missing)")
+    n = len(bufs)
+    if out is None:
+        out = np.empty((n, size, size, 3), np.float32)
+    assert out.shape == (n, size, size, 3) and out.dtype == np.float32
+    # c_char_p carries the raw pointer; explicit lens make embedded NULs safe.
+    c_bufs = (ctypes.c_char_p * n)(*bufs)
+    c_lens = (ctypes.c_int * n)(*[len(b) for b in bufs])
+    statuses = np.zeros(n, np.int32)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 4, 16)
+    dims = np.zeros((n, 2), np.int32) if return_dims else None
+    lib.unipose_decode_batch_mem(
+        c_bufs,
+        c_lens,
+        n,
+        size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        None,
+        0,
         statuses.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)) if dims is not None else None,
         n_threads,

@@ -22,6 +22,10 @@ namespace {
 
 struct Job {
   const char* path;
+  // In-memory source (serving path): when buf != nullptr the job decodes
+  // from this encoded byte buffer (cv::imdecode) instead of reading path.
+  const unsigned char* buf = nullptr;
+  int buf_len = 0;
   float* out;   // size*size*3 floats, BGR HWC
   int size;
   // crop (x0 <= -1 means no crop): crop the rectangle first, then resize.
@@ -43,7 +47,13 @@ struct Job {
 };
 
 void run_job(Job& j) {
-  cv::Mat img = cv::imread(j.path, cv::IMREAD_COLOR);
+  cv::Mat img;
+  if (j.buf != nullptr) {
+    cv::Mat enc(1, j.buf_len, CV_8UC1, const_cast<unsigned char*>(j.buf));
+    img = cv::imdecode(enc, cv::IMREAD_COLOR);
+  } else {
+    img = cv::imread(j.path, cv::IMREAD_COLOR);
+  }
   if (img.empty()) {
     std::memset(j.out, 0, sizeof(float) * 3 * j.size * j.size);
     j.status = 1;
@@ -122,6 +132,62 @@ int unipose_decode_batch(const char** paths, int n, int size, float* out,
   for (int i = 0; i < n; ++i) {
     Job& j = jobs[i];
     j.path = paths[i];
+    j.out = out + static_cast<size_t>(i) * 3 * size * size;
+    j.size = size;
+    if (crops) {
+      j.crop_x0 = crops[i * 4 + 0];
+      j.crop_y0 = crops[i * 4 + 1];
+      j.crop_w = crops[i * 4 + 2];
+      j.crop_h = crops[i * 4 + 3];
+    } else {
+      j.crop_x0 = -1;
+      j.crop_y0 = j.crop_w = j.crop_h = 0;
+    }
+    j.bottom_right = bottom_right;
+    j.mode = mode;
+    j.status = 0;
+  }
+
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      run_job(jobs[i]);
+    }
+  };
+  std::vector<std::thread> threads;
+  int spawn = std::min(n_threads, n);
+  threads.reserve(spawn);
+  for (int t = 0; t < spawn; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+
+  int failures = 0;
+  for (int i = 0; i < n; ++i) {
+    if (statuses) statuses[i] = jobs[i].status;
+    if (dims) {
+      dims[i * 2 + 0] = jobs[i].rows;
+      dims[i * 2 + 1] = jobs[i].cols;
+    }
+    failures += jobs[i].status;
+  }
+  return failures;
+}
+
+// From-memory variant (serving: HTTP bodies hold encoded JPEG bytes, no
+// files).  bufs[i]/lens[i] give each image's encoded bytes; everything
+// else matches unipose_decode_batch.
+int unipose_decode_batch_mem(const unsigned char** bufs, const int* lens,
+                             int n, int size, float* out, const int* crops,
+                             int bottom_right, int* statuses, int* dims,
+                             int n_threads, int mode) {
+  std::vector<Job> jobs(n);
+  for (int i = 0; i < n; ++i) {
+    Job& j = jobs[i];
+    j.path = nullptr;
+    j.buf = bufs[i];
+    j.buf_len = lens[i];
     j.out = out + static_cast<size_t>(i) * 3 * size * size;
     j.size = size;
     if (crops) {
